@@ -1,0 +1,130 @@
+"""Tests for the gapped aligner (region + Myers-Miller traceback)."""
+
+import numpy as np
+import pytest
+
+from swipe_tpu.align import align_py, region
+from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+from swipe_tpu.matrices import ScoreMatrix
+from swipe_tpu.ops.sw_ref import sw_scalar
+
+
+@pytest.fixture(scope="module")
+def m62():
+    return ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+
+
+def walk_ops(ops, a, b, ab, bb, matrix, q, r):
+    """Re-score an op string (like the display layer does) and return the
+    score and end coordinates."""
+    import re
+    score = 0
+    i, j = ab, bb
+    for op, num in re.findall(r"([MDI])(\d+)", ops):
+        n = int(num)
+        if op == "M":
+            for _ in range(n):
+                score += matrix[a[i], b[j]]
+                i += 1
+                j += 1
+        elif op == "D":
+            score -= q + r * n
+            i += n
+        else:
+            score -= q + r * n
+            j += n
+    return score, i - 1, j - 1
+
+
+def _rand_seq(rng, n):
+    return rng.integers(1, 26, size=n, dtype=np.int8)
+
+
+def test_region_score_matches_oracle(m62):
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        a = _rand_seq(rng, int(rng.integers(5, 50)))
+        b = _rand_seq(rng, int(rng.integers(5, 70)))
+        s, ab, bb, ae, be = region(a, b, m62.matrix, 11, 1)
+        assert s == sw_scalar(a, b, m62.matrix, 11, 1)
+        if s > 0:
+            assert 0 <= ab <= ae < len(a)
+            assert 0 <= bb <= be < len(b)
+
+
+def test_alignment_opstring_rescores_exactly(m62):
+    rng = np.random.default_rng(2)
+    checked = 0
+    for _ in range(20):
+        a = _rand_seq(rng, int(rng.integers(10, 60)))
+        b = _rand_seq(rng, int(rng.integers(10, 80)))
+        s = sw_scalar(a, b, m62.matrix, 11, 1)
+        if s == 0:
+            continue
+        score, ab, bb, ae, be, ops = align_py(a, b, m62.matrix, 11, 1)
+        assert score == s
+        ws, wi, wj = walk_ops(ops, a, b, ab, bb, m62.matrix, 11, 1)
+        assert ws == s, f"op walk {ws} != score {s} (ops={ops})"
+        assert (wi, wj) == (ae, be)
+        checked += 1
+    assert checked >= 5
+
+
+def test_alignment_with_hint_matches_full(m62):
+    rng = np.random.default_rng(3)
+    a = _rand_seq(rng, 40)
+    b = np.concatenate([_rand_seq(rng, 20), a[5:30], _rand_seq(rng, 15)])
+    full = align_py(a, b, m62.matrix, 11, 1)
+    hinted = align_py(a, b, m62.matrix, 11, 1,
+                      hint=(full[0], full[3], full[4]))
+    assert hinted == full
+
+
+def test_perfect_match_alignment(m62):
+    a = encode("AAWWAAWW", MAP_NCBI_AA)
+    score, ab, bb, ae, be, ops = align_py(a, a, m62.matrix, 11, 1)
+    assert ops == "M8"
+    assert (ab, bb, ae, be) == (0, 0, 7, 7)
+
+
+def test_gap_in_db(m62):
+    # db has 3 extra residues in the middle -> I3 op
+    a = encode("AAWWAAWW", MAP_NCBI_AA)
+    b = encode("AAWWCCCAAWW", MAP_NCBI_AA)
+    score, ab, bb, ae, be, ops = align_py(a, b, m62.matrix, 11, 1)
+    assert score == 46
+    assert ops == "M4I3M4"
+
+
+def test_gap_in_query(m62):
+    a = encode("AAWWCCCAAWW", MAP_NCBI_AA)
+    b = encode("AAWWAAWW", MAP_NCBI_AA)
+    score, ab, bb, ae, be, ops = align_py(a, b, m62.matrix, 11, 1)
+    assert score == 46
+    assert ops == "M4D3M4"
+
+
+def test_local_trimming(m62):
+    # poor prefix/suffix should be trimmed by the local alignment
+    a = encode("WWWW", MAP_NCBI_AA)
+    b = encode("AAAWWWWAAA", MAP_NCBI_AA)
+    score, ab, bb, ae, be, ops = align_py(a, b, m62.matrix, 11, 1)
+    assert score == 44
+    assert (ab, ae) == (0, 3)
+    assert (bb, be) == (3, 6)
+    assert ops == "M4"
+
+
+@pytest.mark.parametrize("go,ge", [(11, 1), (5, 2), (1, 1)])
+def test_random_alignments_many_penalties(m62, go, ge):
+    rng = np.random.default_rng(go * 100 + ge)
+    for _ in range(8):
+        a = _rand_seq(rng, int(rng.integers(8, 40)))
+        b = _rand_seq(rng, int(rng.integers(8, 50)))
+        s = sw_scalar(a, b, m62.matrix, go, ge)
+        if s == 0:
+            continue
+        score, ab, bb, ae, be, ops = align_py(a, b, m62.matrix, go, ge)
+        assert score == s
+        ws, wi, wj = walk_ops(ops, a, b, ab, bb, m62.matrix, go, ge)
+        assert ws == s
