@@ -1,0 +1,178 @@
+"""Hit management: top-K selection, thresholds, counters, align phase.
+
+Functional re-design of the reference's mutex-guarded sorted-insertion list
+(parity target: /root/reference/hits.cc:28-618).  Scores stream in as NumPy
+batches from the TPU kernel; candidates at or above the initial threshold
+are accumulated and the final top-K is selected with exactly the ordering
+the reference's insertion loop produces:
+
+* list order: score descending, then seqno descending (hits.cc:188-191 —
+  an equal-score new entry moves above entries with a *smaller* seqno),
+  then insertion order (qstrand, qframe, dstrand, dframe ascending) for
+  exact (score, seqno) ties;
+* ``totalhits`` counts entries at/above the initial threshold, ``obvious``
+  counts entries above the upper threshold, and entries above the upper
+  threshold are *excluded* from the list (hits.cc:168-180);
+* keephits = max(descriptions, alignments), clamped to the theoretical
+  maximum number of distinct hits for the mode (hits.cc:283-313).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .align import align as align_fn
+from .stats import EvalueModel
+
+__all__ = ["Hit", "HitList"]
+
+LONG_MAX = 2**63 - 1
+
+
+def mode_multiplier(symtype: int, querystrands: int) -> int:
+    """Max distinct hits per db sequence for the mode (hits.cc:287-311)."""
+    if symtype == 0:
+        return 2 if querystrands == 3 else 1
+    if symtype == 2:
+        return 6 if querystrands == 3 else 3
+    if symtype == 3:
+        return 6
+    if symtype == 4:
+        return 36 if querystrands == 3 else 18
+    return 1
+
+
+@dataclass
+class Hit:
+    seqno: int
+    score: int
+    qstrand: int
+    qframe: int
+    dstrand: int
+    dframe: int
+    header: str = ""
+    dseq: np.ndarray | None = None
+    dlen: int = 0
+    dlennt: int = 0
+    alignment: str = ""
+    score_align: int = 0
+    align_q_start: int = 0
+    align_q_end: int = 0
+    align_d_start: int = 0
+    align_d_end: int = 0
+
+
+class HitList:
+    def __init__(self, descriptions: int, alignments: int, minscore: int,
+                 maxscore: int, minexpect: float, expect: float,
+                 evmodel: EvalueModel, db, symtype: int, querystrands: int):
+        self.opt_descriptions = descriptions
+        self.opt_alignments = alignments
+        self.evmodel = evmodel
+        self.db = db
+        self.symtype = symtype
+
+        keephits = max(descriptions, alignments)
+        maxhits = db.seqcount_masked() * mode_multiplier(symtype, querystrands)
+        self.keephits = min(keephits, maxhits)
+
+        self.scorethreshold = minscore
+        self.upperscorethreshold = maxscore
+        if evmodel.available:
+            mse = evmodel.min_score_for_expect(expect)
+            if mse > self.scorethreshold:
+                self.scorethreshold = mse
+            if minexpect > 0.0:
+                xse = evmodel.max_score_for_expect(minexpect)
+                if xse < self.upperscorethreshold:
+                    self.upperscorethreshold = xse
+        self.init_threshold = self.scorethreshold
+
+        self.totalhits = 0
+        self.obvious = 0
+        self._cand: list[tuple] = []  # (-score, -seqno, order, Hit fields)
+        self._order = 0
+        self.hits: list[Hit] = []
+
+    # ---- search phase -------------------------------------------------------
+
+    def enter_batch(self, seqnos: np.ndarray, scores: np.ndarray,
+                    qstrand: int, qframe: int,
+                    dstrands: np.ndarray, dframes: np.ndarray) -> None:
+        """Enter a batch of (seqno, score) results for one query frame.
+
+        blastn minus-strand results are recorded as plus-query/minus-db,
+        like the reference (swipe.cc:1468-1471).
+        """
+        seqnos = np.asarray(seqnos)
+        scores = np.asarray(scores)
+        self.obvious += int((scores > self.upperscorethreshold).sum())
+        self.totalhits += int((scores >= self.init_threshold).sum())
+        keep = (scores >= self.init_threshold) & \
+               (scores <= self.upperscorethreshold)
+        idx = np.nonzero(keep)[0]
+        if self.symtype == 0 and qstrand:
+            hqstrand, hqframe = 0, 0
+            dstr = np.ones(len(seqnos), dtype=np.int64)
+            dfr = np.zeros(len(seqnos), dtype=np.int64)
+        else:
+            hqstrand, hqframe = qstrand, qframe
+            dstr, dfr = dstrands, dframes
+        for i in idx:
+            self._cand.append((-int(scores[i]), -int(seqnos[i]), self._order,
+                               int(seqnos[i]), int(scores[i]), hqstrand,
+                               hqframe, int(dstr[i]), int(dfr[i])))
+            self._order += 1
+
+    def finalize(self) -> None:
+        """Select and order the kept hits (the reference's final list)."""
+        self._cand.sort()
+        self.hits = [
+            Hit(seqno=c[3], score=c[4], qstrand=c[5], qframe=c[6],
+                dstrand=c[7], dframe=c[8])
+            for c in self._cand[: self.keephits]
+        ]
+        self._cand = []
+
+    @property
+    def count(self) -> int:
+        return len(self.hits)
+
+    @property
+    def showhits(self) -> int:
+        return min(self.count, self.opt_descriptions)
+
+    @property
+    def showalignments(self) -> int:
+        return min(self.count, self.opt_alignments)
+
+    # ---- align phase --------------------------------------------------------
+
+    def align_all(self, query, matrix: np.ndarray, gapopen: int,
+                  gapextend: int) -> None:
+        """Fetch headers for all kept hits; align those that are shown.
+
+        Parity target: hits_align (/root/reference/hits.cc:546-618), with
+        the forward region pass run in full instead of the 16-bit hint
+        kernel (identical results; the hint only skips work).
+        """
+        for i, h in enumerate(self.hits):
+            h.header = self.db.get_header(h.seqno)
+            if i >= self.opt_alignments:
+                continue
+            dseq, ntlen = self.db.get_sequence(
+                h.seqno, self.symtype, h.dstrand, h.dframe)
+            h.dseq = dseq
+            h.dlen = len(dseq)
+            h.dlennt = ntlen
+
+            if self.symtype == 0:
+                qseq = query.nt[0]
+            else:
+                qseq = query.aa[3 * h.qstrand + h.qframe]
+
+            (h.score_align, h.align_q_start, h.align_d_start,
+             h.align_q_end, h.align_d_end, h.alignment) = align_fn(
+                qseq, dseq, matrix, gapopen, gapextend)

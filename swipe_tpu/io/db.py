@@ -1,0 +1,177 @@
+"""Database abstraction: what the search/align/report layers need from a db.
+
+Two implementations exist:
+
+* :class:`FastaDatabase` (here) — reads a FASTA file directly; a new
+  capability over the reference engine (which requires formatdb/makeblastdb
+  output) used for quick searches and tests.
+* ``swipe_tpu.io.blastdb.BlastDatabase`` — NCBI BLAST v4 format databases,
+  byte-compatible with the reference's reader (database.cc).
+
+The interface mirrors the parts of the reference's db layer the engine
+actually consumes (/root/reference/swipe.h:303-347): metadata for the report
+preamble and statistics, per-sequence fetch with db-side strand/frame
+resolution (db_getsequence, database.cc:1237-1401), headers for display, and
+the per-(strand, frame) search-unit expansion done by search_chunk
+(/root/reference/swipe.cc:1377-1390).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+from ..alphabet import (MAP_NCBI_AA, MAP_NCBI_NT16, MAP_SOUND, NT_COMPL,
+                        translate)
+from .fasta import read_fasta
+
+__all__ = ["Database", "FastaDatabase", "SearchUnit"]
+
+
+@dataclass(frozen=True)
+class SearchUnit:
+    """One scoring task: a db sequence in one (strand, frame) orientation."""
+
+    seqno: int
+    dstrand: int
+    dframe: int
+    codes: np.ndarray
+
+
+class Database:
+    """Interface consumed by the engine; see module docstring."""
+
+    title: str = ""
+    time_str: str = ""
+
+    # ---- metadata -----------------------------------------------------------
+    def seqcount(self) -> int:
+        raise NotImplementedError
+
+    def symcount(self) -> int:
+        raise NotImplementedError
+
+    def longest(self) -> int:
+        raise NotImplementedError
+
+    def is_masked(self) -> bool:
+        return False
+
+    def seqcount_masked(self) -> int:
+        return self.seqcount()
+
+    def symcount_masked(self) -> int:
+        return self.symcount()
+
+    # ---- content ------------------------------------------------------------
+    def check_inclusion(self, seqno: int) -> bool:
+        """Masked-subset / taxid filtering hook (db_check_inclusion)."""
+        return True
+
+    def get_sequence(self, seqno: int, symtype: int, dstrand: int = 0,
+                     dframe: int = 0) -> tuple[np.ndarray, int]:
+        """Sequence codes in the requested orientation, plus the nt length.
+
+        Mirrors db_getsequence's symtype switch (database.cc:1237-1401):
+        protein dbs return aa codes; nucleotide dbs return nt16 codes
+        (reverse complement when dstrand=1) in nt modes, or the translated
+        frame in translated-db modes.  Second value = nucleotide length
+        (dlennt).
+        """
+        raise NotImplementedError
+
+    def get_header(self, seqno: int) -> str:
+        """Display defline for the sequence."""
+        raise NotImplementedError
+
+    def search_units(self, symtype: int) -> Iterator[SearchUnit]:
+        """All (seqno, dstrand, dframe) scoring tasks for the search phase."""
+        nt_db = symtype in (0, 3, 4)
+        translated = symtype in (3, 4)
+        for seqno in range(self.seqcount()):
+            if not self.check_inclusion(seqno):
+                continue
+            if translated:
+                for dstrand in range(2):
+                    for dframe in range(3):
+                        codes, _ = self.get_sequence(
+                            seqno, symtype, dstrand, dframe)
+                        yield SearchUnit(seqno, dstrand, dframe, codes)
+            else:
+                codes, _ = self.get_sequence(seqno, symtype, 0, 0)
+                yield SearchUnit(seqno, 0, 0, codes)
+
+
+class FastaDatabase(Database):
+    """In-memory FASTA database.
+
+    ``dbtype`` is 'nt' or 'aa' (or 'sound'); it must agree with the search
+    mode's db side: blastp/blastx want 'aa', blastn/tblastn/tblastx 'nt'.
+    """
+
+    def __init__(self, path_or_fp, dbtype: str, db_gencode: int = 1,
+                 title: str | None = None):
+        self.dbtype = dbtype
+        self.db_gencode = db_gencode
+        charmap = {"nt": MAP_NCBI_NT16, "aa": MAP_NCBI_AA,
+                   "sound": MAP_SOUND}[dbtype]
+        self._seqs: list[np.ndarray] = []
+        self._headers: list[str] = []
+        if isinstance(path_or_fp, str):
+            fp = open(path_or_fp)
+            close = True
+            self.title = title if title is not None else path_or_fp
+        else:
+            fp = path_or_fp
+            close = False
+            self.title = title or ""
+        try:
+            for desc, raw in read_fasta(fp):
+                raw_b = raw.encode("ascii", errors="replace")
+                codes = charmap[np.frombuffer(raw_b, dtype=np.uint8)]
+                self._seqs.append(codes[codes >= 0].astype(np.int8))
+                self._headers.append(desc)
+        finally:
+            if close:
+                fp.close()
+        self._symcount = int(sum(len(s) for s in self._seqs))
+        self.time_str = ""
+
+    def seqcount(self) -> int:
+        return len(self._seqs)
+
+    def symcount(self) -> int:
+        return self._symcount
+
+    def longest(self) -> int:
+        return max((len(s) for s in self._seqs), default=0)
+
+    def get_sequence(self, seqno: int, symtype: int, dstrand: int = 0,
+                     dframe: int = 0) -> tuple[np.ndarray, int]:
+        s = self._seqs[seqno]
+        if self.dbtype != "nt":
+            return s, len(s)
+        ntlen = len(s)
+        if symtype in (3, 4):
+            return translate(s, dstrand, dframe, self.db_gencode), ntlen
+        if dstrand:
+            return NT_COMPL[np.asarray(s, dtype=np.int64)][::-1].astype(
+                np.int8), ntlen
+        return s, ntlen
+
+    def get_header(self, seqno: int) -> str:
+        return self._headers[seqno]
+
+    def search_units(self, symtype: int) -> Iterator[SearchUnit]:
+        translated = symtype in (3, 4)
+        for seqno in range(len(self._seqs)):
+            if translated:
+                for dstrand in range(2):
+                    for dframe in range(3):
+                        codes, _ = self.get_sequence(
+                            seqno, symtype, dstrand, dframe)
+                        yield SearchUnit(seqno, dstrand, dframe, codes)
+            else:
+                yield SearchUnit(seqno, 0, 0, self._seqs[seqno])

@@ -1,0 +1,45 @@
+"""Database dump (-N): reconstruct FASTA from any Database.
+
+Parity target: db_show_fasta (/root/reference/database.cc:1483-1536) and
+db_print_seq_map (:146-162): 80-column sequence lines; amino acids in the
+aa symbol set, nucleotides uppercase; ``split`` emits one FASTA record per
+defline, otherwise deflines are joined with " >".
+"""
+
+from __future__ import annotations
+
+from ..alphabet import SYM_NCBI_AA, SYM_NCBI_NT16U, SYM_SOUND
+
+__all__ = ["dump_fasta"]
+
+
+def _seq_lines(codes, sym: str) -> str:
+    chars = "".join(sym[c] for c in codes)
+    return "".join(chars[i:i + 80] + "\n" for i in range(0, len(chars), 80))
+
+
+def dump_fasta(out, db, symtype: int, split_headers: bool = False) -> None:
+    if symtype in (1, 2):
+        sym = SYM_NCBI_AA
+    elif symtype in (0, 3, 4):
+        sym = SYM_NCBI_NT16U
+    else:
+        sym = SYM_SOUND
+    for seqno in range(db.seqcount()):
+        if not db.check_inclusion(seqno):
+            continue
+        deflines = db.get_deflines(seqno) if hasattr(db, "get_deflines") \
+            else [db.get_header(seqno)]
+        if not deflines:
+            continue
+        # raw sequence (strand 0, frame 0; no translation for the dump)
+        codes, _ = db.get_sequence(seqno, 0 if symtype in (0, 3, 4) else 1,
+                                   0, 0)
+        if split_headers:
+            for d in deflines:
+                out.write(">%s\n" % d)
+                out.write(_seq_lines(codes, sym))
+        else:
+            out.write(" ".join(">" + d for d in deflines))
+            out.write("\n")
+            out.write(_seq_lines(codes, sym))

@@ -1,0 +1,211 @@
+"""Per-query search pipeline: pack -> score on TPU -> enter hits -> align.
+
+TPU-native re-design of the reference's search runtime (parity targets:
+work() /root/reference/swipe.cc:2436-2505, prepare_search/search_chunk
+swipe.cc:1365-1699).  Differences by design:
+
+* the pthread work queue over db chunks becomes a list of pre-packed
+  segment chunks scored by the Pallas kernel (swipe_tpu.ops.sw_pallas);
+  multi-chip sharding of the same chunk list lives in swipe_tpu.parallel;
+* all (qstrand, qframe) variants of a query are scored in ONE kernel
+  call per chunk (the query axis of the kernel grid), instead of the
+  reference's per-frame passes;
+* the 7->16->63-bit escalation is replaced by the exact int32 kernel;
+  cascade-compatibility counters are still reported (everything lands in
+  the "32-bit" tier unless cascade mode is enabled — swipe_tpu.ops.cascade).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .batching import PackedChunk, pack_database
+from .hits import HitList
+from .io.db import Database
+from .io.fasta import Query
+from .matrices import ScoreMatrix
+from .ops.sw_pallas import build_qpt
+from .stats import EvalueModel
+
+__all__ = ["SearchEngine", "SearchParams", "SearchTimings"]
+
+
+@dataclass
+class SearchParams:
+    symtype: int = 1
+    querystrands: int = 3
+    matrixname: str = "BLOSUM62"
+    matchscore: int = 1
+    mismatchscore: int = -3
+    gapopen: int = 11
+    gapextend: int = 1
+    descriptions: int = 250   # -v
+    alignments: int = 100     # -b
+    minscore: int = 1         # -c
+    maxscore: int = 2**63 - 1  # -u
+    expect: float = 10.0      # -e
+    minexpect: float = 0.0    # -k
+    effdbsize: int = 0        # -z
+    query_gencode: int = 1
+    db_gencode: int = 1
+
+    @property
+    def gapopenextend(self) -> int:
+        return self.gapopen + self.gapextend
+
+
+@dataclass
+class SearchTimings:
+    """GCUPS meter (parity: clock_start/clock_stop swipe.cc:1716-1790)."""
+
+    start: float = 0.0
+    elapsed: float = 0.0
+    speed: float = 0.0
+    starttime: str = ""
+    endtime: str = ""
+    # precision-cascade counters (compute*/rounds*, swipe.cc:111-119)
+    compute: dict = field(default_factory=lambda: {7: 0, 16: 0, 32: 0, 63: 0})
+    rounds: dict = field(default_factory=lambda: {7: 0, 16: 0, 32: 0, 63: 0})
+
+    def begin(self):
+        self.start = time.time()
+        self.starttime = time.strftime(
+            "%a, %e %b %Y %H:%M:%S UTC", time.gmtime(self.start))
+
+    def end(self, db_symcount: int, query, symtype: int, querystrands: int):
+        now = time.time()
+        self.endtime = time.strftime(
+            "%a, %e %b %Y %H:%M:%S UTC", time.gmtime(now))
+        self.elapsed = now - self.start
+        speed = float(db_symcount)
+        if symtype == 0:
+            speed *= len(query.nt[0])
+            if querystrands == 3:
+                speed *= 2
+        elif symtype == 1 or symtype == 5:
+            speed *= len(query.aa[0])
+        elif symtype == 2:
+            speed *= len(query.nt[0])
+            if querystrands == 3:
+                speed *= 2
+        elif symtype == 3:
+            speed *= 2 * len(query.aa[0])
+        elif symtype == 4:
+            speed *= 2 * len(query.nt[0])
+            if querystrands == 3:
+                speed *= 2
+        self.speed = speed / self.elapsed if self.elapsed > 0 else 0.0
+
+
+class SearchEngine:
+    """Holds the packed database and runs queries against it."""
+
+    def __init__(self, db: Database, params: SearchParams, *,
+                 nseqs: int = 512, max_cols: int = 16384,
+                 backend: str = "auto"):
+        self.db = db
+        self.params = params
+        self.backend = backend
+        self.matrix = self._build_matrix()
+        self._pack(nseqs, max_cols)
+
+    def _build_matrix(self) -> ScoreMatrix:
+        p = self.params
+        if p.symtype == 0:
+            return ScoreMatrix.nucleotide(p.matchscore, p.mismatchscore,
+                                          p.gapopen, p.gapextend)
+        return ScoreMatrix.from_name_or_file(
+            p.matrixname, p.gapopen, p.gapextend, symtype=p.symtype)
+
+    def _pack(self, nseqs: int, max_cols: int) -> None:
+        units = list(self.db.search_units(self.params.symtype))
+        seqs = [u.codes for u in units]
+        self.unit_meta = np.array(
+            [(u.seqno, u.dstrand, u.dframe) for u in units], dtype=np.int64
+        ).reshape(len(units), 3)
+        self.chunks: list[PackedChunk] = pack_database(
+            seqs, nseqs=nseqs, max_cols=max_cols,
+            seqnos=np.arange(len(units), dtype=np.int64))
+        self._dev_chunks = None
+
+    # ---- scoring ------------------------------------------------------------
+
+    def _scores_fn(self):
+        import jax
+
+        from .ops import sw_pallas
+        backend = self.backend
+        if backend == "auto":
+            backend = ("pallas"
+                       if jax.default_backend() not in ("cpu",) else "lax")
+        if backend == "pallas":
+            return sw_pallas.sw_scores_segmented
+        if backend == "pallas_interpret":
+            import functools
+            return functools.partial(sw_pallas.sw_scores_segmented,
+                                     interpret=True)
+        return sw_pallas.sw_scores_lax
+
+    def query_frames(self, query: Query) -> list[tuple[int, int, np.ndarray]]:
+        return query.frames()
+
+    def search(self, query: Query, timings: SearchTimings | None = None
+               ) -> HitList:
+        """Run the full search+align pipeline for one query."""
+        import jax.numpy as jnp
+
+        p = self.params
+        evmodel = EvalueModel(
+            p.symtype, query.length, self.db.seqcount_masked(),
+            self.db.symcount_masked(),
+            matrixname=p.matrixname if p.symtype != 0 else None,
+            matchscore=p.matchscore, mismatchscore=p.mismatchscore,
+            gapopen=p.gapopen, gapextend=p.gapextend,
+            effdbsize=p.effdbsize)
+
+        hits = HitList(p.descriptions, p.alignments, p.minscore, p.maxscore,
+                       p.minexpect, p.expect, evmodel, self.db, p.symtype,
+                       p.querystrands)
+
+        frames = self.query_frames(query)
+        if not frames:
+            hits.finalize()
+            return hits
+
+        qlen_pad = max(64, -(-max(len(f[2]) for f in frames) // 64) * 64)
+        qpt = jnp.asarray(build_qpt([f[2] for f in frames],
+                                    self.matrix.matrix, qlen_pad))
+        scores_fn = self._scores_fn()
+
+        if timings is not None:
+            timings.begin()
+
+        n_units = len(self.unit_meta)
+        for chunk in self.chunks:
+            out = np.asarray(scores_fn(
+                qpt, jnp.asarray(chunk.data), jnp.asarray(chunk.seg_ids),
+                nsegs=chunk.seqnos.shape[0],
+                gapopenextend=p.gapopenextend, gapextend=p.gapextend))
+            # map (segment, lane) back to units
+            unit_idx = chunk.seqnos.ravel()
+            valid = unit_idx >= 0
+            uids = unit_idx[valid]
+            meta = self.unit_meta[uids]
+            for fi, (qstrand, qframe, _) in enumerate(frames):
+                flat = out[fi].reshape(-1)[valid]
+                hits.enter_batch(meta[:, 0], flat, qstrand, qframe,
+                                 meta[:, 1], meta[:, 2])
+            if timings is not None:
+                timings.compute[32] += int(valid.sum()) * len(frames)
+                timings.rounds[32] += len(frames)
+
+        if timings is not None:
+            timings.end(self.db.symcount_masked(), query, p.symtype,
+                        p.querystrands)
+
+        hits.finalize()
+        hits.align_all(query, self.matrix.matrix, p.gapopen, p.gapextend)
+        return hits

@@ -1,0 +1,172 @@
+"""End-to-end pipeline tests (CPU lax backend) across search modes."""
+
+import io
+import math
+
+import numpy as np
+import pytest
+
+from swipe_tpu.io.db import FastaDatabase
+from swipe_tpu.io.fasta import preprocess_query
+from swipe_tpu.pipeline import SearchEngine, SearchParams
+from swipe_tpu.report import Reporter
+from swipe_tpu.ops.sw_ref import sw_numpy_many
+
+AA = "ARNDCQEGHILKMFPSTWYV"
+NT = "ACGT"
+
+
+def _mkfasta(rng, n, lo, hi, alphabet, plant=None):
+    recs = []
+    for i in range(n):
+        s = "".join(rng.choice(list(alphabet), int(rng.integers(lo, hi))))
+        if plant and i in plant:
+            s = plant[i]
+        recs.append((f"seq{i} description {i}", s))
+    return "".join(f">{d}\n{s}\n" for d, s in recs), recs
+
+
+@pytest.fixture(scope="module")
+def protein_setup():
+    rng = np.random.default_rng(11)
+    q = "".join(rng.choice(list(AA), 80))
+    fasta, recs = _mkfasta(rng, 40, 40, 150, AA,
+                           plant={3: q[5:70], 9: q[:40] + "W" * 5 + q[40:]})
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="testdb")
+    query = preprocess_query("q1 test", q, 1, 3)
+    return db, query, recs, q
+
+
+def test_blastp_scores_match_oracle(protein_setup):
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=40, alignments=40)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    assert hits.count > 0
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    seqs = [encode(s, MAP_NCBI_AA) for _, s in recs]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    for h in hits.hits:
+        assert h.score == want[h.seqno]
+    # ordering: score desc, seqno desc on ties
+    keys = [(-h.score, -h.seqno) for h in hits.hits]
+    assert keys == sorted(keys)
+    # alignment re-walk equals score
+    for i in range(hits.showalignments):
+        h = hits.hits[i]
+        assert h.score_align == h.score
+
+
+def test_blastp_evalue_consistency(protein_setup):
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    ev = hits.evmodel
+    assert ev.available
+    for h in hits.hits:
+        assert ev.evalue(h.score) <= 10.0 + 1e-9
+
+
+def test_report_formats_render(protein_setup):
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    for view in (0, 7, 8, 9):
+        buf = io.StringIO()
+        rep = Reporter(buf, view, 1, eng.matrix.matrix, query=query)
+        rep.show(hits, "testdb")
+        text = buf.getvalue()
+        assert "seq3" in text
+        if view == 0:
+            assert "Identities" in text
+            assert "Query:" in text
+        if view == 7:
+            assert "<result>" in text and "</result>" in text
+        if view in (8, 9):
+            line = [l for l in text.splitlines()
+                    if l and not l.startswith("#")][0]
+            assert len(line.split("\t")) == 12
+
+
+def test_blastn_both_strands():
+    rng = np.random.default_rng(5)
+    q = "".join(rng.choice(list(NT), 60))
+    import swipe_tpu.alphabet as al
+    rc = al.decode(al.revcompl(al.encode(q, al.MAP_NCBI_NT16)),
+                   al.SYM_NCBI_NT16).upper()
+    fasta, recs = _mkfasta(rng, 20, 40, 120, NT,
+                           plant={2: q, 6: rc})
+    db = FastaDatabase(io.StringIO(fasta), "nt")
+    query = preprocess_query("qn", q, 0, 3)
+    params = SearchParams(symtype=0, matchscore=1, mismatchscore=-3,
+                          gapopen=5, gapextend=2)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    top2 = {(h.seqno, h.dstrand) for h in hits.hits[:2]}
+    assert (2, 0) in top2      # forward plant: plus/plus
+    assert (6, 1) in top2      # revcompl plant: plus/minus
+    assert hits.hits[0].score == 60
+    # alignment of the minus hit must rescore correctly
+    for h in hits.hits[:2]:
+        assert h.score_align == h.score
+
+
+def test_tblastn_translated_db():
+    rng = np.random.default_rng(7)
+    prot = "".join(rng.choice(list(AA), 50))
+    # reverse-translate via standard code (pick a codon per aa)
+    from swipe_tpu.alphabet import GENETIC_CODES
+    code = GENETIC_CODES[1]
+    codon_of = {}
+    bases = "TCAG"
+    for i, aa in enumerate(code):
+        codon = bases[i // 16] + bases[(i // 4) % 4] + bases[i % 4]
+        codon_of.setdefault(aa, codon)
+    dna = "".join(codon_of[c] for c in prot)
+    fasta, recs = _mkfasta(rng, 15, 60, 200, NT, plant={4: dna})
+    db = FastaDatabase(io.StringIO(fasta), "nt")
+    query = preprocess_query("qp", prot, 3, 1)
+    params = SearchParams(symtype=3, querystrands=1, gapopen=11, gapextend=1)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    assert hits.hits[0].seqno == 4
+    assert hits.hits[0].dstrand == 0 and hits.hits[0].dframe == 0
+    # perfect translated match: score = sum of diagonal
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    pq = encode(prot, MAP_NCBI_AA)
+    assert hits.hits[0].score == int(eng.matrix.matrix[pq, pq].sum())
+    assert hits.hits[0].score_align == hits.hits[0].score
+
+
+def test_blastx_translated_query():
+    rng = np.random.default_rng(9)
+    fasta, recs = _mkfasta(rng, 12, 40, 120, AA)
+    # query: dna that translates (frame 1, minus strand too) into seq5
+    target = recs[5][1]
+    from swipe_tpu.alphabet import GENETIC_CODES
+    code = GENETIC_CODES[1]
+    bases = "TCAG"
+    codon_of = {}
+    for i, aa in enumerate(code):
+        codon = bases[i // 16] + bases[(i // 4) % 4] + bases[i % 4]
+        codon_of.setdefault(aa, codon)
+    dna = "G" + "".join(codon_of[c] for c in target[:30])  # frame 1
+    db = FastaDatabase(io.StringIO(fasta), "aa")
+    query = preprocess_query("qx", dna, 2, 3)
+    params = SearchParams(symtype=2, gapopen=11, gapextend=1)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    assert hits.hits[0].seqno == 5
+    assert hits.hits[0].qstrand == 0 and hits.hits[0].qframe == 1
+
+
+def test_counters_and_thresholds(protein_setup):
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1, minscore=25)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    assert all(h.score >= hits.init_threshold for h in hits.hits)
+    assert hits.totalhits >= hits.count
