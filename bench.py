@@ -1,0 +1,77 @@
+"""Benchmark: single-chip Smith-Waterman database-search throughput (GCUPS).
+
+Measurement config 1 of BASELINE.md: one ~200aa protein query, BLOSUM62
+gap 11/1, vs a 10k-sequence protein database (Swiss-Prot-like length
+distribution), exact scores, top-100.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's published aggregate throughput
+(~106 GCUPS on a dual 6-core Xeon X5650; Rognes 2011, cited in
+/root/reference/README:40-41) — the whole-machine number, not per-core.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_GCUPS = 106.0  # reference machine aggregate (Rognes 2011)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_database
+    from swipe_tpu.matrices import ScoreMatrix
+    from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax, \
+        sw_scores_segmented
+
+    rng = np.random.default_rng(0)
+    m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    lens = np.clip(rng.lognormal(5.8, 0.5, 10_000).astype(int), 20, 3000)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
+    qlen = 200
+    # distinct query per timed rep: the execution tunnel memoizes identical
+    # dispatches, which would otherwise make repeats free
+    reps = 5
+    qpts = [jnp.asarray(build_qpt(
+        [rng.integers(1, 26, size=qlen, dtype=np.int8)], m.matrix,
+        qlen_pad=256)) for _ in range(reps + 1)]
+    qpt = qpts[0]
+    chunks = pack_database(seqs, nseqs=512)
+    dev = [(jnp.asarray(c.data), jnp.asarray(c.seg_ids), c.seqnos.shape[0])
+           for c in chunks]
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    score = sw_scores_segmented if on_tpu else sw_scores_lax
+
+    def run(qp):
+        # device-to-host transfer forces real completion; under the axon
+        # remote runtime block_until_ready can return before execution
+        return [np.asarray(score(qp, d, s, nsegs=n, gapopenextend=12,
+                                 gapextend=1)) for d, s, n in dev]
+
+    run(qpts[0])  # compile
+    t0 = time.time()
+    for r in range(reps):
+        outs = run(qpts[r + 1])
+    dt = (time.time() - t0) / reps
+
+    # top-100 selection included in principle; negligible, done once
+    top = np.sort(np.concatenate(
+        [o.reshape(-1) for o in outs]))[-100:]
+    assert top[-1] > 0
+
+    cells = qlen * int(lens.sum())
+    gcups = cells / dt / 1e9
+    print(json.dumps({
+        "metric": "GCUPS_1chip_blastp_10kseq",
+        "value": round(gcups, 3),
+        "unit": "GCUPS",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -247,20 +247,20 @@ def open_database(a: Args):
     """Open a BLAST database, falling back to FASTA auto-detection."""
     import os
 
-    nt_db = a.symtype in (0, 3, 4)
     from .io import blastdb
-    for ext in (".pin", ".nin", ".pal", ".nal"):
+    protein_family = a.symtype in (1, 2, 5)
+    dbtype = "aa" if protein_family else "nt"
+    exts = (".pal", ".pin") if protein_family else (".nal", ".nin")
+    for ext in exts:
         if os.path.exists(a.databasename + ext):
-            return blastdb.BlastDatabase(a.databasename,
-                                         taxid_file=a.taxidfilename)
+            return blastdb.BlastDatabase(
+                a.databasename, dbtype, db_gencode=a.db_gencode,
+                taxid_file=a.taxidfilename, show_gis=bool(a.show_gis),
+                show_taxid=bool(a.show_taxid))
     if os.path.exists(a.databasename):
-        with open(a.databasename, "rb") as f:
-            head = f.read(1)
-        if head in (b">", b";") or True:
-            return FastaDatabase(a.databasename,
-                                 "nt" if nt_db else
-                                 ("sound" if a.symtype == 5 else "aa"),
-                                 db_gencode=a.db_gencode)
+        return FastaDatabase(a.databasename,
+                             "sound" if a.symtype == 5 else dbtype,
+                             db_gencode=a.db_gencode)
     fatal("Cannot open database.")
 
 

@@ -53,6 +53,7 @@ class Hit:
     dstrand: int
     dframe: int
     header: str = ""
+    deflines: list = None
     dseq: np.ndarray | None = None
     dlen: int = 0
     dlennt: int = 0
@@ -92,8 +93,7 @@ class HitList:
 
         self.totalhits = 0
         self.obvious = 0
-        self._cand: list[tuple] = []  # (-score, -seqno, order, Hit fields)
-        self._order = 0
+        self._cand: list[tuple] = []  # (-score, -seqno, tie keys, fields)
         self.hits: list[Hit] = []
 
     # ---- search phase -------------------------------------------------------
@@ -120,18 +120,20 @@ class HitList:
         else:
             hqstrand, hqframe = qstrand, qframe
             dstr, dfr = dstrands, dframes
+        # exact (score, seqno) ties keep the reference's single-threaded
+        # insertion order: qstrand, qframe, dstrand, dframe ascending
+        # (the search loops of swipe.cc:1403-1596)
         for i in idx:
-            self._cand.append((-int(scores[i]), -int(seqnos[i]), self._order,
-                               int(seqnos[i]), int(scores[i]), hqstrand,
-                               hqframe, int(dstr[i]), int(dfr[i])))
-            self._order += 1
+            self._cand.append((-int(scores[i]), -int(seqnos[i]),
+                               hqstrand, hqframe, int(dstr[i]), int(dfr[i]),
+                               int(seqnos[i]), int(scores[i])))
 
     def finalize(self) -> None:
         """Select and order the kept hits (the reference's final list)."""
         self._cand.sort()
         self.hits = [
-            Hit(seqno=c[3], score=c[4], qstrand=c[5], qframe=c[6],
-                dstrand=c[7], dframe=c[8])
+            Hit(seqno=c[6], score=c[7], qstrand=c[2], qframe=c[3],
+                dstrand=c[4], dframe=c[5])
             for c in self._cand[: self.keephits]
         ]
         self._cand = []
@@ -151,15 +153,20 @@ class HitList:
     # ---- align phase --------------------------------------------------------
 
     def align_all(self, query, matrix: np.ndarray, gapopen: int,
-                  gapextend: int) -> None:
+                  gapextend: int, scorelimit_16: int = 1 << 62) -> None:
         """Fetch headers for all kept hits; align those that are shown.
 
-        Parity target: hits_align (/root/reference/hits.cc:546-618), with
-        the forward region pass run in full instead of the 16-bit hint
-        kernel (identical results; the hint only skips work).
+        Parity target: hits_align (/root/reference/hits.cc:546-618) plus the
+        align-phase hint pass (align_chunk, swipe.cc:339-414): an endpoint
+        hint with search16s tie semantics (ops.align_hint) replaces the
+        forward region pass when bestq > 0 and bestpos != 0 — required for
+        picking the same alignment when several optimal endpoints exist.
         """
+        from .ops.align_hint import hint_endpoint
+
         for i, h in enumerate(self.hits):
-            h.header = self.db.get_header(h.seqno)
+            h.deflines = self.db.get_deflines(h.seqno)
+            h.header = h.deflines[0] if h.deflines else ""
             if i >= self.opt_alignments:
                 continue
             dseq, ntlen = self.db.get_sequence(
@@ -173,6 +180,13 @@ class HitList:
             else:
                 qseq = query.aa[3 * h.qstrand + h.qframe]
 
+            hint = None
+            if h.score < scorelimit_16:
+                score, bestq, bestpos = hint_endpoint(
+                    qseq, dseq, matrix, gapopen, gapextend)
+                if bestq > 0 and bestpos:
+                    hint = (score, bestq, bestpos)
+
             (h.score_align, h.align_q_start, h.align_d_start,
              h.align_q_end, h.align_d_end, h.alignment) = align_fn(
-                qseq, dseq, matrix, gapopen, gapextend)
+                qseq, dseq, matrix, gapopen, gapextend, hint=hint)

@@ -86,6 +86,10 @@ class Database:
         """Display defline for the sequence."""
         raise NotImplementedError
 
+    def get_deflines(self, seqno: int) -> list[str]:
+        """All display deflines (BLAST dbs can have several per sequence)."""
+        return [self.get_header(seqno)]
+
     def search_units(self, symtype: int) -> Iterator[SearchUnit]:
         """All (seqno, dstrand, dframe) scoring tasks for the search phase."""
         nt_db = symtype in (0, 3, 4)

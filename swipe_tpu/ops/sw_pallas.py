@@ -278,10 +278,15 @@ def sw_scores_lax(qpt: jax.Array, db: jax.Array, seg_ids: jax.Array, *,
             out = out.at[seg].max(jnp.max(s, axis=0))
             return (h, e, s, out), None
 
-        init = (jnp.zeros((qlen, nseqs), jnp.int32),
-                jnp.full((qlen, nseqs), NEG_INF, jnp.int32),
-                jnp.zeros((qlen, nseqs), jnp.int32),
-                jnp.zeros((nsegs, nseqs), jnp.int32))
+        # derive the init carry from db and the query profile so its
+        # varying-axes metadata matches the scan body under shard_map
+        # (zero-valued, free after fusion)
+        zvar = (db[0, 0].astype(jnp.int32) * 0
+                + qp32[0, 0] * 0)
+        init = (jnp.zeros((qlen, nseqs), jnp.int32) + zvar,
+                jnp.full((qlen, nseqs), NEG_INF, jnp.int32) + zvar,
+                jnp.zeros((qlen, nseqs), jnp.int32) + zvar,
+                jnp.zeros((nsegs, nseqs), jnp.int32) + zvar)
         (_, _, _, out), _ = jax.lax.scan(
             column, init, (db.astype(jnp.int32), col_seg, col_start))
         return out

@@ -1,0 +1,108 @@
+"""SPMD execution over a device mesh: the MPI master/slave replacement.
+
+The reference distributes dynamically over MPI point-to-point messages
+(master/slave, /root/reference/swipe.cc:1793-2434): slaves score db chunks,
+keep a local top-K, and the master merges the per-slave top-Ks exactly
+(slaves keep at least K entries, swipe.cc:2182).  The TPU-native equivalent
+is static SPMD: the packed db chunk is sharded across the mesh's "db" axis
+(each device scores a disjoint lane range), every device reduces its scores
+to a fixed-size per-device top-K with jax.lax.top_k, and the per-device
+results are all-gathered and merged — exact for the same reason the MPI
+merge is exact.  Work counters ride a psum, mirroring the tag_stats merge
+(swipe.cc:1978-1992).
+
+Queries can additionally be sharded over a second mesh axis ("q"), giving
+the dp x q grid used for query-batch workloads.  Communication is a single
+all-gather of (K x record) arrays per chunk, exactly mirroring the 8-long
+tuple encoding the reference slaves ship to the master (swipe.cc:2304-2320).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.sw_pallas import sw_scores_lax, sw_scores_segmented
+
+__all__ = ["make_mesh", "sharded_topk_scores", "merge_topk"]
+
+
+def make_mesh(n_db: int | None = None, n_q: int = 1,
+              devices=None) -> Mesh:
+    """Create a (db, q) mesh over the available devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_db is None:
+        n_db = len(devices) // n_q
+    return Mesh(devices[: n_db * n_q].reshape(n_db, n_q), ("db", "q"))
+
+
+def _topk_records(scores: jax.Array, base_unit: jax.Array, k: int
+                  ) -> tuple[jax.Array, jax.Array]:
+    """Per-device top-k of a [NQ, nsegs, NSEQS] score block.
+
+    base_unit: [nsegs, NSEQS] int32 global unit ids (-1 for empty lanes).
+    Returns (scores [NQ, k], units [NQ, k]).
+    """
+    nq = scores.shape[0]
+    flat = scores.reshape(nq, -1)
+    units = base_unit.reshape(-1)
+    # empty lanes must lose: force their scores to a minimum
+    flat = jnp.where(units[None, :] >= 0, flat, -1)
+    k = min(k, flat.shape[1])
+    top, idx = jax.lax.top_k(flat, k)
+    # couple units to top so both share the same varying axes under
+    # shard_map (unit ids are per-query anyway; zero-valued coupling)
+    return top, units[idx] + top * 0
+
+
+def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
+                        gapopenextend: int, gapextend: int, k: int,
+                        backend: str = "pallas"):
+    """Score a packed chunk sharded over the mesh and return merged top-k.
+
+    qpt:      [NQ, QLEN, 32] int8 — replicated over "db", sharded over "q"
+    db:       [L, NSEQS] int8 — lanes sharded over "db"
+    seg_ids:  [nblocks+1] int32 — replicated
+    unit_ids: [nsegs, NSEQS] int32 global unit numbers — sharded like db
+    Returns (scores [NQ, n_db*k], units [NQ, n_db*k]) gathered on all
+    devices, plus the psum'ed cell counter.
+    """
+    score_fn = (sw_scores_segmented if backend == "pallas" else sw_scores_lax)
+    n_db = mesh.shape["db"]
+
+    def per_device(qpt, db, seg_ids, unit_ids):
+        scores = score_fn(qpt, db, seg_ids, nsegs=nsegs,
+                          gapopenextend=gapopenextend, gapextend=gapextend)
+        top, units = _topk_records(scores, unit_ids, k)
+        # exact global merge: gather every device's local top-k
+        top_all = jax.lax.all_gather(top, "db", axis=1, tiled=True)
+        units_all = jax.lax.all_gather(units, "db", axis=1, tiled=True)
+        cells = jnp.sum(jnp.where(unit_ids >= 0, 1, 0)) * qpt.shape[0]
+        cells = jax.lax.psum(cells, "db")
+        return top_all, units_all, cells
+
+    spec_db = P(None, "db")       # [L, NSEQS] lanes over db axis
+    spec_units = P(None, "db")
+    spec_qpt = P("q", None, None)
+    # check_vma=False: all_gather over "db" makes the outputs equal on
+    # every db device, but this jax version's varying-axes inference does
+    # not register that replication
+    f = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(spec_qpt, spec_db, P(None), spec_units),
+        out_specs=(P("q", None), P("q", None), P()),
+        check_vma=False,
+    )
+    return f(qpt, db, seg_ids, unit_ids)
+
+
+def merge_topk(scores: np.ndarray, units: np.ndarray, k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """Host-side final merge of gathered per-device top-k lists."""
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    return (np.take_along_axis(scores, order, axis=1),
+            np.take_along_axis(units, order, axis=1))

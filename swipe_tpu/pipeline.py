@@ -207,5 +207,6 @@ class SearchEngine:
                         p.querystrands)
 
         hits.finalize()
-        hits.align_all(query, self.matrix.matrix, p.gapopen, p.gapextend)
+        hits.align_all(query, self.matrix.matrix, p.gapopen, p.gapextend,
+               scorelimit_16=self.matrix.scorelimit_16)
         return hits

@@ -218,14 +218,11 @@ class Reporter:
                         ach = "+"
                     else:
                         ach = " "
+                    # whole_align (hits.cc:925-940): '|' for identities in
+                    # every mode, unlike the plain pairwise display
                     if build_lines:
                         qparts.append(sym[qs])
-                        if self.symtype == 0:
-                            aparts.append("|" if qs == ds else " ")
-                        else:
-                            aparts.append(sym[qs] if qs == ds else
-                                          ("+" if self.matrix[qs, ds] > 0
-                                           else " "))
+                        aparts.append(ach)
                         dparts.append(sym[ds])
         if build_lines:
             st.qline = "".join(qparts)
@@ -391,7 +388,8 @@ class Reporter:
                 headerlen = 64
             elif self.symtype == 4:
                 headerlen = 61
-            w(render_header([h.header], 0, headerlen, headerlen, 1, True))
+            w(render_header(h.deflines or [h.header], 0, headerlen,
+                headerlen, 1, True))
             if self.symtype == 0:
                 w(" %c" % ("-" if h.dstrand else "+"))
             elif self.symtype == 2:
@@ -412,7 +410,8 @@ class Reporter:
         for i in range(hl.showalignments):
             h = hl.hits[i]
             w("\n")
-            w(render_header([h.header], 10, 0, 79, LONG_MAX, True))
+            w(render_header(h.deflines or [h.header], 10, 0, 79,
+                LONG_MAX, True))
             if self.symtype in (3, 4):
                 w("          Length = %d\n" % h.dlennt)
             else:
@@ -468,7 +467,8 @@ class Reporter:
             w("      <query>%s</query>\n" %
               show_description(self.query.description))
             w("      <name>%s</name>\n" %
-              render_header([h.header], 0, 0, LONG_MAX, 1, True))
+              render_header(h.deflines or [h.header], 0, 0, LONG_MAX, 1,
+                            True))
             w("      <len>%d</len>\n" % h.dlen)
             w("      <score>%d</score>\n" % h.score)
             if i < hl.showalignments:
@@ -504,7 +504,8 @@ class Reporter:
             h = hl.hits[i]
             w(show_description(self.query.description))
             w("\t")
-            w(render_header([h.header], 0, 0, LONG_MAX, 1, False))
+            w(render_header(h.deflines or [h.header], 0, 0, LONG_MAX, 1,
+                False))
             st = self.align_stats(h)
             w("\t%.2f\t%d\t%d\t%d\t%d\t%d\t%d\t%d" %
               (100.0 * st.identities / st.aligned,

@@ -1,0 +1,161 @@
+"""Golden parity: byte-compare our output with the reference SWIPE binary.
+
+The reference sources are mounted at /root/reference; they are copied to a
+temp dir and compiled once per session (x86 with SSE2 required).  Databases
+are produced by our own BLAST v4 writer — which doubles as a writer test,
+since the reference binary must parse them.
+
+Volatile lines (program banner, compile stamp, timestamps, speed) are
+stripped before comparison; everything else must match byte for byte.
+"""
+
+import os
+import re
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+from swipe_tpu.alphabet import MAP_NCBI_AA, MAP_NCBI_NT16, encode
+from swipe_tpu.io.blastdb_writer import make_deflines, write_blastdb
+
+REF_SRC = "/root/reference"
+REF_BIN_DIR = "/tmp/swipe_tpu_refbuild"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_SRC), reason="reference sources not available")
+
+
+@pytest.fixture(scope="session")
+def ref_swipe():
+    binpath = os.path.join(REF_BIN_DIR, "swipe")
+    if not os.path.exists(binpath):
+        shutil.copytree(REF_SRC, REF_BIN_DIR, dirs_exist_ok=True)
+        r = subprocess.run(["make", "-j4", "swipe"], cwd=REF_BIN_DIR,
+                           capture_output=True)
+        if r.returncode != 0:
+            pytest.skip("cannot build reference binary: "
+                        + r.stderr.decode()[-500:])
+    return binpath
+
+
+VOLATILE = re.compile(
+    r"^(SWIPE|swipe-tpu|Search started|Search completed|Elapsed|Speed|"
+    r"# SWIPE|Database time)")
+
+
+def _normalize(text: str) -> str:
+    return "\n".join(l for l in text.splitlines() if not VOLATILE.match(l))
+
+
+def run_ref(ref_bin, args):
+    r = subprocess.run([ref_bin] + args, capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    return r.stdout.decode()
+
+
+def run_ours(args):
+    import io
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(args + ["--backend", "lax"])
+    assert rc == 0
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def dbs(tmp_path_factory):
+    """One small protein and one small nucleotide golden database."""
+    rng = np.random.default_rng(42)
+    d = tmp_path_factory.mktemp("golden")
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    NT = list("ACGT")
+
+    qp = "".join(rng.choice(AA, 70))
+    paa = []
+    pdesc = []
+    for i in range(25):
+        s = "".join(rng.choice(AA, int(rng.integers(30, 120))))
+        if i == 4:
+            s = qp[5:60]
+        if i == 11:
+            s = s[:20] + qp[10:45] + s[20:]
+        paa.append(encode(s, MAP_NCBI_AA))
+        pdesc.append(f"pseq{i} protein test sequence {i}")
+    write_blastdb(str(d / "prot"), paa, make_deflines(pdesc), "aa",
+                  title="golden protein db", date="Jan 1, 2026  12:00 AM")
+
+    qn = "".join(rng.choice(NT, 80))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[c] for c in reversed(qn))
+    nnt = []
+    ndesc = []
+    for i in range(20):
+        s = "".join(rng.choice(NT, int(rng.integers(40, 160))))
+        if i == 2:
+            s = qn
+        if i == 7:
+            s = rc + "NRYW"
+        if i == 12:
+            s = s[:30] + "N" * 6 + s[30:]
+        nnt.append(encode(s, MAP_NCBI_NT16))
+        ndesc.append(f"nseq{i} nucleotide test sequence {i}")
+    write_blastdb(str(d / "nucl"), nnt, make_deflines(ndesc), "nt",
+                  title="golden nt db", date="Jan 1, 2026  12:00 AM")
+
+    (d / "qp.fa").write_text(f">qprot test protein query\n{qp}\n")
+    (d / "qn.fa").write_text(f">qnucl test nt query\n{qn}\n")
+    return d
+
+
+CASES = [
+    ("blastp-m8", ["-p", "blastp", "-m", "8"], "prot", "qp.fa"),
+    ("blastp-m9", ["-p", "blastp", "-m", "9"], "prot", "qp.fa"),
+    ("blastp-m0", ["-p", "blastp", "-m", "0"], "prot", "qp.fa"),
+    ("blastp-m7", ["-p", "blastp", "-m", "7"], "prot", "qp.fa"),
+    ("blastn-m8", ["-p", "blastn", "-m", "8"], "nucl", "qn.fa"),
+    ("blastn-m0", ["-p", "blastn", "-m", "0"], "nucl", "qn.fa"),
+    ("blastx-m9", ["-p", "blastx", "-m", "9"], "prot", "qn.fa"),
+    ("blastx-m0", ["-p", "blastx", "-m", "0"], "prot", "qn.fa"),
+    ("tblastn-m9", ["-p", "tblastn", "-m", "9"], "nucl", "qp.fa"),
+    ("tblastn-m0", ["-p", "tblastn", "-m", "0"], "nucl", "qp.fa"),
+    ("tblastx-m9", ["-p", "tblastx", "-m", "9"], "nucl", "qn.fa"),
+    ("blastp-minexp", ["-p", "blastp", "-m", "9", "-k", "0.001"],
+     "prot", "qp.fa"),
+    ("blastp-evalue", ["-p", "blastp", "-m", "8", "-e", "0.1"],
+     "prot", "qp.fa"),
+    ("blastp-b2v5", ["-p", "blastp", "-m", "0", "-b", "2", "-v", "5"],
+     "prot", "qp.fa"),
+    ("blastn-strandplus", ["-p", "blastn", "-m", "8", "-S", "1"],
+     "nucl", "qn.fa"),
+    ("blastp-pam30", ["-p", "blastp", "-m", "9", "-M", "PAM30"],
+     "prot", "qp.fa"),
+]
+
+
+@pytest.mark.parametrize("name,args,db,qf", CASES, ids=[c[0] for c in CASES])
+def test_golden(ref_swipe, dbs, name, args, db, qf):
+    full = args + ["-d", str(dbs / db), "-i", str(dbs / qf)]
+    ref_out = _normalize(run_ref(ref_swipe, full))
+    our_out = _normalize(run_ours(full))
+    assert our_out == ref_out, (
+        f"output mismatch for {name}\n--- first diff ---\n"
+        + "\n".join(_first_diff(ref_out, our_out)))
+
+
+def _first_diff(a: str, b: str, n: int = 6):
+    la, lb = a.splitlines(), b.splitlines()
+    out = []
+    for i in range(max(len(la), len(lb))):
+        xa = la[i] if i < len(la) else "<EOF>"
+        xb = lb[i] if i < len(lb) else "<EOF>"
+        if xa != xb:
+            out.append(f"line {i}: ref={xa!r}")
+            out.append(f"line {i}: our={xb!r}")
+            if len(out) >= 2 * n:
+                break
+    return out
