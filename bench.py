@@ -24,8 +24,7 @@ def main():
 
     from swipe_tpu.batching import pack_database
     from swipe_tpu.matrices import ScoreMatrix
-    from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax, \
-        sw_scores_segmented
+    from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax
 
     rng = np.random.default_rng(0)
     m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
@@ -44,7 +43,10 @@ def main():
            for c in chunks]
 
     on_tpu = jax.default_backend() not in ("cpu",)
-    score = sw_scores_segmented if on_tpu else sw_scores_lax
+    if on_tpu:
+        from swipe_tpu.ops.sw_tiled import sw_scores_tiled as score
+    else:
+        score = sw_scores_lax
 
     def run(qp):
         # device-to-host transfer forces real completion; under the axon

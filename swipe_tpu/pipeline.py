@@ -142,6 +142,9 @@ class SearchEngine:
             backend = ("pallas"
                        if jax.default_backend() not in ("cpu",) else "lax")
         if backend == "pallas":
+            from .ops.sw_tiled import sw_scores_tiled
+            return sw_scores_tiled
+        if backend == "pallas_v1":
             return sw_pallas.sw_scores_segmented
         if backend == "pallas_interpret":
             import functools
