@@ -2,12 +2,20 @@
 
 Measurement config 1 of BASELINE.md: one ~200aa protein query, BLOSUM62
 gap 11/1, vs a 10k-sequence protein database (Swiss-Prot-like length
-distribution), exact scores, top-100.
+distribution), exact int32 scores, top-100.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline compares against the reference's published aggregate throughput
 (~106 GCUPS on a dual 6-core Xeon X5650; Rognes 2011, cited in
 /root/reference/README:40-41) — the whole-machine number, not per-core.
+
+Methodology notes:
+* a distinct query is dispatched per timed rep (the execution tunnel
+  memoizes identical dispatches, which would make repeats free);
+* dispatch is asynchronous with a ~37 ms host<->device sync round-trip
+  (measured), so all reps are issued back-to-back and synced once, and the
+  measured sync latency of an empty dispatch is subtracted;
+* one untimed warm-up pass per compiled shape precedes timing.
 """
 
 import json
@@ -22,7 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from swipe_tpu.batching import pack_database
+    from swipe_tpu.batching import pack_database, pack_stream
     from swipe_tpu.matrices import ScoreMatrix
     from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax
 
@@ -31,41 +39,63 @@ def main():
     lens = np.clip(rng.lognormal(5.8, 0.5, 10_000).astype(int), 20, 3000)
     seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
     qlen = 200
-    # distinct query per timed rep: the execution tunnel memoizes identical
-    # dispatches, which would otherwise make repeats free
-    reps = 5
-    qpts = [jnp.asarray(build_qpt(
-        [rng.integers(1, 26, size=qlen, dtype=np.int8)], m.matrix,
-        qlen_pad=256)) for _ in range(reps + 1)]
-    qpt = qpts[0]
-    chunks = pack_database(seqs, nseqs=512)
-    dev = [(jnp.asarray(c.data), jnp.asarray(c.seg_ids), c.seqnos.shape[0])
-           for c in chunks]
+    reps = 10
+    queries = [rng.integers(1, 26, size=qlen, dtype=np.int8)
+               for _ in range(2 * reps)]
+    cells = qlen * int(lens.sum())
 
     on_tpu = jax.default_backend() not in ("cpu",)
+
     if on_tpu:
-        from swipe_tpu.ops.sw_tiled import sw_scores_tiled as score
+        from swipe_tpu.ops.sw_stream import (build_matrix8, build_qcodes,
+                                             gather_scores, sw_scores_stream)
+        m8 = jnp.asarray(build_matrix8(m.matrix))
+        chunks = pack_stream(seqs, nseqs=1024, max_cols=65536)
+        dev = [(jnp.asarray(c.data), jnp.asarray(c.start),
+                jnp.asarray(c.end_block), jnp.asarray(c.lane))
+               for c in chunks]
+        qcs = [tuple(map(jnp.asarray, build_qcodes([q], 256)))
+               for q in queries]
+
+        def run(qc):
+            parts = [gather_scores(
+                sw_scores_stream(qc[0], qc[1], m8, d, st,
+                                 gapopenextend=12, gapextend=1), eb, ln)
+                for d, st, eb, ln in dev]
+            return jnp.concatenate(parts, axis=1)
     else:
-        score = sw_scores_lax
+        chunks = pack_database(seqs, nseqs=512)
+        dev = [(jnp.asarray(c.data), jnp.asarray(c.seg_ids),
+                c.seqnos.shape[0]) for c in chunks]
+        qpts = [jnp.asarray(build_qpt([q], m.matrix, 256)) for q in queries]
+        qcs = qpts
 
-    def run(qp):
-        # device-to-host transfer forces real completion; under the axon
-        # remote runtime block_until_ready can return before execution
-        return [np.asarray(score(qp, d, s, nsegs=n, gapopenextend=12,
-                                 gapextend=1)) for d, s, n in dev]
+        def run(qp):
+            return jnp.concatenate(
+                [sw_scores_lax(qp, d, s, nsegs=n, gapopenextend=12,
+                               gapextend=1).reshape(1, -1)
+                 for d, s, n in dev], axis=1)
 
-    run(qpts[0])  # compile
+    # measure the empty-dispatch sync latency to subtract
+    tiny = jax.jit(lambda a: a + 1)
+    np.asarray(tiny(jnp.zeros((8, 128), jnp.int32)))
     t0 = time.time()
-    for r in range(reps):
-        outs = run(qpts[r + 1])
-    dt = (time.time() - t0) / reps
+    np.asarray(tiny(jnp.ones((8, 128), jnp.int32)))
+    sync_lat = time.time() - t0
 
-    # top-100 selection included in principle; negligible, done once
-    top = np.sort(np.concatenate(
-        [o.reshape(-1) for o in outs]))[-100:]
+    def one_pass(qlist):
+        outs = [run(q) for q in qlist]
+        return np.asarray(jnp.concatenate(outs).reshape(-1))
+
+    # warm-up: compile + first-dispatch effects for the WHOLE timed path
+    one_pass(qcs[reps:2 * reps])
+
+    t0 = time.time()
+    flat = one_pass(qcs[:reps])
+    dt = max(time.time() - t0 - sync_lat, 1e-9) / reps
+    top = np.sort(flat)[-100:]
     assert top[-1] > 0
 
-    cells = qlen * int(lens.sum())
     gcups = cells / dt / 1e9
     print(json.dumps({
         "metric": "GCUPS_1chip_blastp_10kseq",

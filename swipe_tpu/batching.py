@@ -21,13 +21,15 @@ occupancy on a Swiss-Prot-like length distribution is ~0.96.
 
 from __future__ import annotations
 
+import heapq
 from dataclasses import dataclass
 
 import numpy as np
 
 from .ops.sw_pallas import PAD_SYMBOL, SEG_BLK
 
-__all__ = ["PackedChunk", "pack_database", "round_up"]
+__all__ = ["PackedChunk", "pack_database", "StreamChunk", "pack_stream",
+           "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -131,5 +133,114 @@ def pack_database(seqs: list[np.ndarray], nseqs: int = 512,
         group_cols += seg_len
         if group_cols >= max_cols:
             flush()
+    flush()
+    return chunks
+
+
+@dataclass
+class StreamChunk:
+    """One lane-packed batch for the stream kernel (ops.sw_stream).
+
+    Packing model = SWIPE's channel machine at block granularity
+    (/root/reference/search7.cc:830-957): each of ``nseqs`` lanes holds a
+    concatenation of sequences, each padded up to KSEG-column blocks; the
+    ``start`` mask marks blocks where a lane begins a new sequence (the
+    kernel resets that lane's state there).  Sequence k's score is the
+    kernel's per-block dump at (end_block[k], lane[k]).
+
+    data:      [L, nseqs] int8, PAD_SYMBOL padded, L multiple of KSEG
+    start:     [L // KSEG, nseqs] int8
+    seqnos:    [n] int64 original sequence ids
+    lane:      [n] int32
+    end_block: [n] int32
+    residues:  true residue count (for occupancy accounting)
+    """
+
+    data: np.ndarray
+    start: np.ndarray
+    seqnos: np.ndarray
+    lane: np.ndarray
+    end_block: np.ndarray
+    residues: int
+
+    @property
+    def nseqs(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def n_cols(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def occupancy(self) -> float:
+        return self.residues / (self.data.size or 1)
+
+
+def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
+                max_cols: int = 65536, block: int = 16,
+                seqnos: np.ndarray | None = None) -> list[StreamChunk]:
+    """LPT-pack sequences onto ``nseqs`` lanes with block-granular refill.
+
+    Sequences are sorted longest-first and each is appended to the
+    currently shortest lane (longest-processing-time scheduling), rounded
+    up to ``block`` columns — the static-shape equivalent of SWIPE's
+    dynamic lane refill.  Occupancy on real length distributions is
+    ~0.95+.  ``max_cols`` caps a chunk's column count; a single sequence
+    longer than that still becomes its own (oversized) chunk.
+    """
+    if seqnos is None:
+        seqnos = np.arange(len(seqs), dtype=np.int64)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    order = np.argsort(-lens, kind="stable")
+
+    chunks: list[StreamChunk] = []
+    # per-chunk state
+    heap = [(0, ln) for ln in range(nseqs)]  # (blocks used, lane)
+    members: list[list[int]] = [[] for _ in range(nseqs)]
+
+    def flush():
+        nonlocal heap, members
+        if not any(members):
+            heap = [(0, ln) for ln in range(nseqs)]
+            return
+        loads = np.zeros(nseqs, dtype=np.int64)
+        for used, ln in heap:
+            loads[ln] = used
+        # bucket the block count (bounded compile-cache shapes)
+        nblocks = round_up(int(loads.max()), 8)
+        data = np.full((nblocks * block, nseqs), PAD_SYMBOL, dtype=np.int8)
+        start = np.zeros((nblocks, nseqs), dtype=np.int8)
+        snos, lanev, endv = [], [], []
+        residues = 0
+        for ln in range(nseqs):
+            b = 0
+            for si in members[ln]:
+                s = seqs[si]
+                nb = max(-(-len(s) // block), 1)
+                data[b * block: b * block + len(s), ln] = s
+                start[b, ln] = 1
+                snos.append(seqnos[si])
+                lanev.append(ln)
+                endv.append(b + nb - 1)
+                residues += len(s)
+                b += nb
+        chunks.append(StreamChunk(
+            data, start,
+            np.array(snos, dtype=np.int64),
+            np.array(lanev, dtype=np.int32),
+            np.array(endv, dtype=np.int32),
+            residues))
+        heap = [(0, ln) for ln in range(nseqs)]
+        members = [[] for _ in range(nseqs)]
+
+    max_blocks = max(max_cols // block, 1)
+    for si in order:
+        nb = max(-(-int(lens[si]) // block), 1)
+        used, ln = heap[0]
+        if used and used + nb > max_blocks:
+            flush()
+            used, ln = heap[0]
+        heapq.heappushpop(heap, (used + nb, ln))
+        members[ln].append(int(si))
     flush()
     return chunks

@@ -18,7 +18,8 @@ from .alphabet import GENCODE_NAMES
 from .io.db import FastaDatabase
 from .io.fasta import read_queries
 from .pipeline import SearchEngine, SearchParams, SearchTimings
-from .report import LONG_MAX, PROGRAM, Reporter, show_begin, show_end
+from .report import (LONG_MAX, PROGRAM, ParalignInfo, Reporter, show_begin,
+                     show_end)
 from .stats import get_prefs
 
 SYMTYPE_NAMES = {"blastn": 0, "blastp": 1, "blastx": 2, "tblastn": 3,
@@ -339,8 +340,9 @@ def main(argv=None) -> int:
     engine = SearchEngine(db, params, backend=a.backend)
 
     show_begin(out, a.view)
-    for query in read_queries(a.queryname, a.symtype, a.querystrands,
-                              a.query_gencode):
+    for queryno, query in enumerate(
+            read_queries(a.queryname, a.symtype, a.querystrands,
+                         a.query_gencode)):
         args_show(out, a, db, query, engine)
         timings = SearchTimings()
         if a.view == 0:
@@ -358,7 +360,19 @@ def main(argv=None) -> int:
             out.write("\n")
         rep = Reporter(out, a.view, a.symtype, engine.matrix.matrix,
                        query=query, show_gis=a.show_gis)
-        rep.show(hits, a.databasename)
+        paralign = None
+        if a.view == 99:
+            paralign = ParalignInfo(
+                queryname=a.queryname, databasename=a.databasename,
+                matrixname=a.matrixname, querystrands=a.querystrands,
+                gapopen=a.gapopen, gapextend=a.gapextend,
+                minexpect=a.minexpect, expect=a.expect,
+                maxmatches=a.maxmatches, alignments=a.alignments,
+                threads=a.threads, queryno=queryno,
+                starttime=timings.starttime, endtime=timings.endtime,
+                elapsed=timings.elapsed, speed=timings.speed,
+                sw_count=timings.compute[7])
+        rep.show(hits, a.databasename, paralign=paralign)
     show_end(out, a.view)
     if a.outfile:
         out.close()

@@ -98,6 +98,11 @@ class ScoreMatrix:
     def gapopenextend(self) -> int:
         return self.gapopen + self.gapextend
 
+    @property
+    def fits_int8(self) -> bool:
+        """True when the int8 TPU kernels can take this matrix directly."""
+        return self.lo >= -128 and self.hi <= 127
+
     def with_gaps(self, gapopen: int, gapextend: int) -> "ScoreMatrix":
         return ScoreMatrix(self.name, self.matrix, gapopen, gapextend)
 

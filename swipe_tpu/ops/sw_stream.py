@@ -1,0 +1,241 @@
+"""Row-streamed Pallas SW kernel with lane-level sequence refill.
+
+This is the closest TPU analog of the reference's inner loop and channel
+machine (/root/reference/search7.cc:585-645, lane refill :830-957):
+database columns stream through the kernel and query rows are walked
+*sequentially*, so the query-gap chain F resolves by iteration order — no
+prefix-max scan.  Where SWIPE packs 16 database sequences into one SSE
+register and refills a lane the moment its sequence ends, this kernel
+packs 8x128xG sequences into the (sublane, lane) axes of the VPU and
+refills lanes at db-block granularity: the packer (batching.pack_stream)
+concatenates sequences per lane, and a per-(block, lane) start mask resets
+that lane's H/E/S state in-kernel — SWIPE's ``domasked`` trick
+(search7.cc:671-753) with the mask streamed instead of computed.
+
+One vector op updates 1024*G DP cells with the same ~11-op recurrence the
+reference's ONESTEP runs:
+
+    F = max(F_up - R, H_up - Q)        (query-gap chain, along rows)
+    E = max(E_left - R, H_left - Q)    (db-gap chain, along columns)
+    H = max(diag + profile, E, F, 0)
+    S = max(S, H)
+
+The per-block score profile ("dprofile", search7.cc:36-174) is built once
+per (query, block) with one one-hot matmul on the MXU:
+    dprof[sym, j, g, l] = matrix[sym, db[j, g, l]]
+and each row step r loads dprof[q[r], j] — a [8, 128] vector — by scalar
+index, mirroring SWIPE's qtable indirection (swipe.cc:1259-1266).
+
+Per-query state: H/E of the last processed column for every query row
+([QLEN, 8, NL] each — the ``hearray`` of swipe.cc:1240) plus the previous
+row's H/F per in-flight column.  After every block the kernel dumps the
+running per-lane maxima S; a lane's sequence score is S at its final
+block, recovered with one device-side gather (gather_scores).
+
+Arithmetic is exact int32 by default; ``clamp`` reproduces the saturating
+lower tiers of the reference's 7->16->63-bit cascade.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw_pallas import NEG_INF, PAD_SYMBOL
+
+__all__ = ["sw_scores_stream", "gather_scores", "build_matrix8",
+           "build_qcodes", "KSEG", "SUB"]
+
+KSEG = 16   # db columns per grid block = lane-refill granularity
+SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
+
+
+def build_matrix8(matrix: np.ndarray) -> np.ndarray:
+    """[32, 32] int8 score matrix with the PAD row/column forced to -128."""
+    m = np.asarray(matrix, dtype=np.int64)
+    if m.min() < -128 or m.max() > 127:
+        raise ValueError("score matrix must fit int8 for the TPU kernel")
+    m8 = m.astype(np.int8).copy()
+    m8[PAD_SYMBOL, :] = -128
+    m8[:, PAD_SYMBOL] = -128
+    return m8
+
+
+def build_qcodes(queries: list[np.ndarray], qlen_pad: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """([NQ, qlen_pad] int32 codes, [NQ] int32 lengths) for the kernel."""
+    nq = len(queries)
+    qc = np.full((nq, qlen_pad), PAD_SYMBOL, dtype=np.int32)
+    ql = np.zeros((nq,), dtype=np.int32)
+    for n, q in enumerate(queries):
+        L = len(q)
+        if L > qlen_pad:
+            raise ValueError(f"query {n} longer than qlen_pad ({L})")
+        qc[n, :L] = np.asarray(q, dtype=np.int32)
+        ql[n] = L
+    return qc, ql
+
+
+def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, out_ref,
+                   hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+                   oh_ref, dprof_ref, *,
+                   Q: int, R: int, clamp: int | None):
+    """One (query, db-block) grid step.
+
+    db_ref:    [KSEG*SUB, NL] int8 — column j's symbols are rows j*8..j*8+7
+    start_ref: [1, SUB, NL] int32 — 1 where the lane starts a new sequence
+    out_ref:   [1, 1, SUB, NL] int32 — per-lane running max after this block
+    hst/est:   [QLEN, SUB, NL] int32 — H/E at the last processed column
+    hrow/frow: [KSEG, SUB, NL] int32 — previous query row's H/F per column
+    oh_ref:    [32, KSEG*SUB, NL] int8 one-hot scratch
+    dprof_ref: [32, KSEG, SUB, NL] int32 block score profile
+    """
+    qi = pl.program_id(0)
+    b = pl.program_id(1)
+    nl = db_ref.shape[1]
+
+    @pl.when(b == 0)
+    def _init():
+        hst_ref[...] = jnp.zeros_like(hst_ref)
+        est_ref[...] = jnp.full_like(est_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # ---- dprofile: one-hot matmul on the MXU --------------------------------
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+    dblk = db_ref[...].astype(jnp.int32)                    # [KSEG*SUB, NL]
+    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+    dprof_ref[...] = jax.lax.dot_general(
+        m8_ref[...], oh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(32, KSEG, SUB, nl)
+
+    # ---- lane refill: reset state where a new sequence starts ---------------
+    reset = start_ref[0] != 0                               # [SUB, NL] bool
+    hrow_ref[...] = jnp.zeros_like(hrow_ref)
+    frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
+
+    qlen = ql_ref[qi]
+
+    def row_body(r, carry):
+        diag0, s = carry
+        qsym = qc_ref[qi, r]
+        hst_old = jnp.where(reset, 0, hst_ref[r])           # [SUB, NL]
+        est_old = jnp.where(reset, NEG_INF, est_ref[r])
+        h_left = hst_old
+        e_left = est_old
+        diag = diag0
+        for j in range(KSEG):
+            p = dprof_ref[qsym, j]                          # [SUB, NL]
+            hprev = hrow_ref[j]
+            f = jnp.maximum(frow_ref[j] - R, hprev - Q)
+            e = jnp.maximum(e_left - R, h_left - Q)
+            h = jnp.maximum(jnp.maximum(diag + p, 0), jnp.maximum(e, f))
+            if clamp is not None:
+                h = jnp.minimum(h, clamp)
+            s = jnp.maximum(s, h)
+            hrow_ref[j] = h
+            frow_ref[j] = f
+            diag = hprev
+            h_left = h
+            e_left = e
+        hst_ref[r] = h_left
+        est_ref[r] = e_left
+        return hst_old, s
+
+    _, s = jax.lax.fori_loop(
+        0, qlen, row_body,
+        (jnp.zeros((SUB, nl), jnp.int32),
+         jnp.where(reset, 0, s_ref[...])))
+    s_ref[...] = s
+    out_ref[0, 0] = s
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "clamp", "interpret"),
+)
+def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
+                     db: jax.Array, start: jax.Array, *,
+                     gapopenextend: int, gapextend: int,
+                     clamp: int | None = None,
+                     interpret: bool = False) -> jax.Array:
+    """Score queries against a lane-packed db chunk (stream kernel).
+
+    qcodes:  [NQ, QLEN] int32 query codes, PAD_SYMBOL padded (build_qcodes)
+    qlens:   [NQ] int32 true query lengths
+    matrix8: [32, 32] int8 score matrix (build_matrix8)
+    db:      [L, NSEQS] int8 lane-packed chunk (batching.pack_stream);
+             L a multiple of KSEG, NSEQS a multiple of 8*128
+    start:   [L // KSEG, NSEQS] int8/int32 — 1 where a lane begins a new
+             sequence at that block
+    Returns [NQ, L // KSEG, NSEQS] int32: each lane's running max score
+    after every block; a sequence's score is the value at its end block
+    (gather_scores).
+    """
+    nq, qlen_pad = qcodes.shape
+    L, nseqs = db.shape
+    if L % KSEG:
+        raise ValueError(f"db length {L} not a multiple of {KSEG}")
+    if nseqs % (SUB * 128):
+        raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
+    nl = nseqs // SUB
+    nblocks = L // KSEG
+    # lane fold: packed lane i -> (sublane i // nl, lane i % nl); then merge
+    # (column, sublane) so the db block is a cleanly tiled 2-D int8 array
+    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+    start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
+
+    kernel = functools.partial(
+        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq, nblocks),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, SUB, nl),
+                               lambda q, b, *_: (q, b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
+            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qcodes, qlens, matrix8, db8, start32)
+    return out.reshape(nq, nblocks, nseqs)
+
+
+@jax.jit
+def gather_scores(out: jax.Array, end_block: jax.Array, lane: jax.Array
+                  ) -> jax.Array:
+    """[NQ, nseq] scores from the per-block dump (device-side gather).
+
+    out: [NQ, nblocks, NSEQS] from sw_scores_stream; end_block/lane: [nseq]
+    int32 per-sequence coordinates from batching.pack_stream.
+    """
+    return out[:, end_block, lane]

@@ -22,7 +22,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .batching import PackedChunk, pack_database
+from .batching import PackedChunk, pack_database, pack_stream
 from .hits import HitList
 from .io.db import Database
 from .io.fasta import Query
@@ -104,13 +104,29 @@ class SearchEngine:
     """Holds the packed database and runs queries against it."""
 
     def __init__(self, db: Database, params: SearchParams, *,
-                 nseqs: int = 512, max_cols: int = 16384,
+                 nseqs: int | None = None, max_cols: int | None = None,
                  backend: str = "auto"):
         self.db = db
         self.params = params
-        self.backend = backend
+        self.backend = self._resolve_backend(backend)
         self.matrix = self._build_matrix()
+        stream = self.backend in ("stream", "stream_interpret")
+        if nseqs is None:
+            nseqs = 1024 if stream else 512
+        if max_cols is None:
+            max_cols = 65536 if stream else 16384
         self._pack(nseqs, max_cols)
+
+    # longest query frame the stream kernel's VMEM state supports; longer
+    # queries fall back to the segmented lax path (still exact)
+    STREAM_MAX_QLEN = 1280
+
+    @staticmethod
+    def _resolve_backend(backend: str) -> str:
+        if backend != "auto":
+            return backend
+        import jax
+        return "stream" if jax.default_backend() not in ("cpu",) else "lax"
 
     def _build_matrix(self) -> ScoreMatrix:
         p = self.params
@@ -122,25 +138,36 @@ class SearchEngine:
 
     def _pack(self, nseqs: int, max_cols: int) -> None:
         units = list(self.db.search_units(self.params.symtype))
-        seqs = [u.codes for u in units]
+        self._unit_seqs = [u.codes for u in units]
         self.unit_meta = np.array(
             [(u.seqno, u.dstrand, u.dframe) for u in units], dtype=np.int64
         ).reshape(len(units), 3)
-        self.chunks: list[PackedChunk] = pack_database(
-            seqs, nseqs=nseqs, max_cols=max_cols,
-            seqnos=np.arange(len(units), dtype=np.int64))
+        unit_ids = np.arange(len(units), dtype=np.int64)
+        if self.backend in ("stream", "stream_interpret"):
+            self.chunks = pack_stream(
+                self._unit_seqs, nseqs=nseqs, max_cols=max_cols,
+                seqnos=unit_ids)
+        else:
+            self.chunks = pack_database(
+                self._unit_seqs, nseqs=nseqs, max_cols=max_cols,
+                seqnos=unit_ids)
+        self._seg_chunks: list[PackedChunk] | None = (
+            self.chunks if self.backend not in ("stream", "stream_interpret")
+            else None)
         self._dev_chunks = None
+
+    def _segment_chunks(self) -> list[PackedChunk]:
+        """Segment-packed chunks for the fallback path (built lazily)."""
+        if self._seg_chunks is None:
+            self._seg_chunks = pack_database(
+                self._unit_seqs, nseqs=512, max_cols=16384,
+                seqnos=np.arange(len(self._unit_seqs), dtype=np.int64))
+        return self._seg_chunks
 
     # ---- scoring ------------------------------------------------------------
 
-    def _scores_fn(self):
-        import jax
-
+    def _scores_fn(self, backend: str):
         from .ops import sw_pallas
-        backend = self.backend
-        if backend == "auto":
-            backend = ("pallas"
-                       if jax.default_backend() not in ("cpu",) else "lax")
         if backend == "pallas":
             from .ops.sw_tiled import sw_scores_tiled
             return sw_scores_tiled
@@ -178,32 +205,24 @@ class SearchEngine:
             hits.finalize()
             return hits
 
-        qlen_pad = max(64, -(-max(len(f[2]) for f in frames) // 64) * 64)
-        qpt = jnp.asarray(build_qpt([f[2] for f in frames],
-                                    self.matrix.matrix, qlen_pad))
-        scores_fn = self._scores_fn()
-
         if timings is not None:
             timings.begin()
 
-        n_units = len(self.unit_meta)
-        for chunk in self.chunks:
-            out = np.asarray(scores_fn(
-                qpt, jnp.asarray(chunk.data), jnp.asarray(chunk.seg_ids),
-                nsegs=chunk.seqnos.shape[0],
-                gapopenextend=p.gapopenextend, gapextend=p.gapextend))
-            # map (segment, lane) back to units
-            unit_idx = chunk.seqnos.ravel()
-            valid = unit_idx >= 0
-            uids = unit_idx[valid]
-            meta = self.unit_meta[uids]
-            for fi, (qstrand, qframe, _) in enumerate(frames):
-                flat = out[fi].reshape(-1)[valid]
-                hits.enter_batch(meta[:, 0], flat, qstrand, qframe,
-                                 meta[:, 1], meta[:, 2])
-            if timings is not None:
-                timings.compute[32] += int(valid.sum()) * len(frames)
-                timings.rounds[32] += len(frames)
+        max_qlen = max(len(f[2]) for f in frames)
+        backend = self.backend
+        if backend in ("stream", "stream_interpret"):
+            qlen_pad = max(128, -(-max_qlen // 128) * 128)
+            if qlen_pad <= self.STREAM_MAX_QLEN and self.matrix.fits_int8:
+                self._search_stream(frames, hits, qlen_pad, timings,
+                                    interpret=(backend ==
+                                               "stream_interpret"))
+            else:
+                self._search_segments(frames, hits, max_qlen, timings,
+                                      self._scores_fn("lax"),
+                                      self._segment_chunks())
+        else:
+            self._search_segments(frames, hits, max_qlen, timings,
+                                  self._scores_fn(backend), self.chunks)
 
         if timings is not None:
             timings.end(self.db.symcount_masked(), query, p.symtype,
@@ -213,3 +232,93 @@ class SearchEngine:
         hits.align_all(query, self.matrix.matrix, p.gapopen, p.gapextend,
                scorelimit_16=self.matrix.scorelimit_16)
         return hits
+
+    def _count_tiers(self, timings: SearchTimings | None, scores, nq: int
+                     ) -> None:
+        """Cascade-compatibility counters (compute*/rounds*, swipe.cc:111-119).
+
+        Arithmetic here is exact int32 in one pass, but the tier a sequence
+        *would* terminate at in the reference's 7->16->63-bit escalation is
+        fully determined by its exact score vs SCORELIMIT_7/_16
+        (matrices.cc:575-578, swipe.cc:1464,1518), so the counters are
+        reproduced without running the narrow tiers.
+        """
+        if timings is None:
+            return
+        sl7 = self.matrix.scorelimit_7
+        sl16 = self.matrix.scorelimit_16
+        n16 = int((scores >= sl7).sum())
+        n63 = int((scores >= sl16).sum())
+        timings.compute[7] += int(scores.size)
+        timings.compute[16] += n16
+        timings.compute[63] += n63
+        timings.rounds[7] += nq
+        if n16:
+            timings.rounds[16] += nq
+        if n63:
+            timings.rounds[63] += nq
+
+    def _dev_stream_chunks(self):
+        import jax.numpy as jnp
+        if self._dev_chunks is None:
+            self._dev_chunks = [
+                (jnp.asarray(c.data), jnp.asarray(c.start),
+                 jnp.asarray(c.end_block), jnp.asarray(c.lane))
+                for c in self.chunks]
+        return self._dev_chunks
+
+    def _search_stream(self, frames, hits, qlen_pad, timings,
+                       interpret=False):
+        """Score all frames with the stream kernel (ops.sw_stream)."""
+        import jax.numpy as jnp
+
+        from .ops.sw_stream import (build_matrix8, build_qcodes,
+                                    gather_scores, sw_scores_stream)
+        p = self.params
+        qc, ql = build_qcodes([f[2] for f in frames], qlen_pad)
+        qc, ql = jnp.asarray(qc), jnp.asarray(ql)
+        m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
+        # issue every chunk before the first sync: dispatch is async, so
+        # device work overlaps the host-side hit entry below
+        pending = []
+        for chunk, dev in zip(self.chunks, self._dev_stream_chunks()):
+            data, start, end_block, lane = dev
+            out = sw_scores_stream(qc, ql, m8, data, start,
+                                   gapopenextend=p.gapopenextend,
+                                   gapextend=p.gapextend,
+                                   interpret=interpret)
+            pending.append((chunk, gather_scores(out, end_block, lane)))
+        for chunk, sc in pending:
+            sc = np.asarray(sc)                      # [NQ, n_chunk_units]
+            meta = self.unit_meta[chunk.seqnos]
+            for fi, (qstrand, qframe, _) in enumerate(frames):
+                hits.enter_batch(meta[:, 0], sc[fi], qstrand, qframe,
+                                 meta[:, 1], meta[:, 2])
+            self._count_tiers(timings, sc, len(frames))
+
+    def _search_segments(self, frames, hits, max_qlen, timings,
+                         scores_fn, chunks):
+        """Score all frames with a segment-packed kernel (lax/tiled/v1)."""
+        import jax.numpy as jnp
+
+        p = self.params
+        qlen_pad = max(64, -(-max_qlen // 64) * 64)
+        qpt = jnp.asarray(build_qpt([f[2] for f in frames],
+                                    self.matrix.matrix, qlen_pad))
+        for chunk in chunks:
+            out = np.asarray(scores_fn(
+                qpt, jnp.asarray(chunk.data), jnp.asarray(chunk.seg_ids),
+                nsegs=chunk.seqnos.shape[0],
+                gapopenextend=p.gapopenextend, gapextend=p.gapextend))
+            # map (segment, lane) back to units
+            unit_idx = chunk.seqnos.ravel()
+            valid = unit_idx >= 0
+            uids = unit_idx[valid]
+            meta = self.unit_meta[uids]
+            flats = []
+            for fi, (qstrand, qframe, _) in enumerate(frames):
+                flat = out[fi].reshape(-1)[valid]
+                flats.append(flat)
+                hits.enter_batch(meta[:, 0], flat, qstrand, qframe,
+                                 meta[:, 1], meta[:, 2])
+            self._count_tiers(timings, np.stack(flats), len(frames))

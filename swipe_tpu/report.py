@@ -22,7 +22,7 @@ from .alphabet import SYM_NCBI_AA, SYM_NCBI_NT16, SYM_SOUND
 from .hits import Hit, HitList
 
 __all__ = ["format_expect", "format_expect_nospace", "render_header",
-           "Reporter"]
+           "Reporter", "ParalignInfo", "defline_split", "make_anchor"]
 
 LONG_MAX = 2**63 - 1
 PROGRAM = "SWIPE 2.1.1"
@@ -116,6 +116,66 @@ def render_header(deflines: list[str], indent: int = 0, maxlen: int = 0,
                 out.append("\n")
             line += 1
     return "".join(out)
+
+
+def defline_split(defline: str) -> tuple[int, str, str]:
+    """hits_defline_split (hits.cc:1256-1287): (gi, link, title).
+
+    Parses an optional leading ``gi|<n>|`` and splits the next token (the
+    id chain) from the description.
+    """
+    gi = 0
+    p = defline
+    mm = re.match(r"gi\|(\d+)", p)
+    if mm:
+        gi = int(mm.group(1))
+        p = p[mm.end():]
+    if p.startswith("|"):
+        p = p[1:]
+    sp = p.find(" ")
+    if sp >= 0:
+        return gi, p[:sp], p[sp + 1:]
+    return gi, "", p
+
+
+def make_anchor(symtype: int, queryno: int, h: Hit) -> str:
+    """make_anchor (hits.cc:1215-1254)."""
+    qs = "-" if h.qstrand else "+"
+    ds = "-" if h.dstrand else "+"
+    if symtype == 0:
+        return "%d_%d__%s__+" % (queryno, h.seqno, qs)
+    if symtype == 2:
+        return "%d_%d_%d_%s__" % (queryno, h.seqno, h.qframe + 1, qs)
+    if symtype == 3:
+        return "%d_%d___%d_%s" % (queryno, h.seqno, h.dframe + 1, ds)
+    if symtype == 4:
+        return "%d_%d_%d_%s_%d_%s" % (queryno, h.seqno, h.qframe + 1, qs,
+                                      h.dframe + 1, ds)
+    return "%d_%d____" % (queryno, h.seqno)
+
+
+@dataclass
+class ParalignInfo:
+    """Context the -m 99 ParAlign XML renderer needs beyond the hit list
+    (mirrors the globals hits_show_xml_paralign reads, hits.cc:1289-1648)."""
+
+    queryname: str = ""
+    databasename: str = ""
+    matrixname: str = ""
+    querystrands: int = 3
+    gapopen: int = 11
+    gapextend: int = 1
+    minexpect: float = 0.0
+    expect: float = 10.0
+    maxmatches: int = 250
+    alignments: int = 100
+    threads: int = 1
+    queryno: int = 0
+    starttime: str = ""
+    endtime: str = ""
+    elapsed: float = 0.0
+    speed: float = 0.0
+    sw_count: int = 0
 
 
 @dataclass
@@ -521,13 +581,272 @@ class Reporter:
                 w("\t%d" % h.score)
             w("\n")
 
-    def show(self, hl: HitList, databasename: str = "") -> None:
+    def show_xml_paralign(self, hl: HitList, info: ParalignInfo) -> None:
+        """hits_show_xml_paralign (hits.cc:1289-1648)."""
+        w = self.out.write
+        q = self.query
+        ev = hl.evmodel
+        st = self.symtype
+        w("\t<paralignOutput>\n")
+
+        if st in (1, 3):
+            qseqtype, seq, sym = "Amino Acid", q.aa[0], SYM_NCBI_AA
+        elif st == 5:
+            qseqtype, seq, sym = "Amino Acid", q.aa[0], SYM_SOUND
+        else:
+            qseqtype, seq, sym = "Nucleotide", q.nt[0], SYM_NCBI_NT16
+        w("\t\t<queryInformation>\n")
+        w("\t\t\t<queryFilename>./%s</queryFilename>\n" % info.queryname)
+        w("\t\t\t<querySequencetype>%s</querySequencetype>\n" % qseqtype)
+        w("\t\t\t<queryDescription>%s</queryDescription>\n" % q.description)
+        w("\t\t\t<queryLength>%d</queryLength>\n" % len(seq))
+        w("\t\t\t<querySequence>%s</querySequence>\n" %
+          "".join(sym[c] for c in seq))
+        w("\t\t</queryInformation>\n")
+
+        db = hl.db
+        if st in (0, 3, 4):
+            dbseqtype, ncbidb, ncbiopt = "Nucleotide", "Nucleotide", "GenBank"
+        else:
+            dbseqtype, ncbidb, ncbiopt = "Amino Acid", "Protein", "GenPept"
+        w("\t\t<databaseInformation>\n")
+        w("\t\t\t<databaseFilename>%s</databaseFilename>\n" %
+          info.databasename)
+        w("\t\t\t<databaseSequencetype>%s</databaseSequencetype>\n" %
+          dbseqtype)
+        w("\t\t\t<databaseDescription>%s</databaseDescription>\n" % db.title)
+        w("\t\t\t<databaseVersion>%d</databaseVersion>\n" %
+          getattr(db, "version", 4))
+        w("\t\t\t<databaseDate>%s</databaseDate>\n" % db.time_str)
+        w("\t\t\t<residueCount>%d</residueCount>\n" % db.symcount_masked())
+        w("\t\t\t<sequenceCount>%d</sequenceCount>\n" % db.seqcount_masked())
+        w("\t\t\t<longestSequenceLength>%d</longestSequenceLength>\n" %
+          db.longest())
+        w("\t\t</databaseInformation>\n")
+
+        strands = {1: "Plus", 2: "Minus", 3: "Both"}.get(info.querystrands,
+                                                         "")
+        w("\t\t<options>\n")
+        w("\t\t\t<algorithm>Smith-Waterman</algorithm>\n")
+        if st in (0, 2, 4):
+            w("\t\t\t<queryStrands>%s</queryStrands>\n" % strands)
+        w("\t\t\t<scoreMatrix>%s</scoreMatrix>\n" %
+          ("NT" if st == 0 else info.matrixname))
+        w("\t\t\t<gapPenalties>\n")
+        w("\t\t\t\t<gapPenaltyOpen>%d</gapPenaltyOpen>\n" % info.gapopen)
+        w("\t\t\t\t<gapPenaltyExtension>%d</gapPenaltyExtension>\n" %
+          info.gapextend)
+        lam = ev.lambda_ if ev.available else 0.0
+        K = ev.K if ev.available else 0.0
+        H = ev.H if ev.available else 0.0
+        for kind in ("ungapped", "gapped"):
+            w("\t\t\t\t<%s>\n" % kind)
+            w("\t\t\t\t\t<%sLambda>%.4g</%sLambda>\n" % (kind, lam, kind))
+            w("\t\t\t\t\t<%sKappa>%.4g</%sKappa>\n" % (kind, K, kind))
+            w("\t\t\t\t\t<%sEta>%.4g</%sEta>\n" % (kind, H, kind))
+            w("\t\t\t\t</%s>\n" % kind)
+        w("\t\t\t</gapPenalties>\n")
+        w("\t\t\t<expectRange>\n")
+        w("\t\t\t\t<expectRangeFrom>%.2g</expectRangeFrom>\n" %
+          info.minexpect)
+        w("\t\t\t\t<expectRangeTo>%.2g</expectRangeTo>\n" % info.expect)
+        w("\t\t\t</expectRange>\n")
+        w("\t\t\t<displayLimits>\n")
+        w("\t\t\t\t<hitLimit>%d</hitLimit>\n" % info.maxmatches)
+        w("\t\t\t\t<alignmentLimit>%d</alignmentLimit>\n" % info.alignments)
+        w("\t\t\t\t<subalignmentLimit>%d</subalignmentLimit>\n" % 1)
+        w("\t\t\t</displayLimits>\n")
+        w("\t\t\t<threads>%d</threads>\n" % info.threads)
+        w("\t\t</options>\n")
+
+        # (three tabs as in the reference, hits.cc:1404)
+        w("\t\t\t<searchInformation>\n")
+        w("\t\t\t\t<searchStarted>%s</searchStarted>\n" % info.starttime)
+        w("\t\t\t\t<searchCompleted>%s</searchCompleted>\n" % info.endtime)
+        w("\t\t\t\t<searchElapsedTime>%.2fs</searchElapsedTime>\n" %
+          info.elapsed)
+        w("\t\t\t\t<searchSpeed>%.3f GCUPS</searchSpeed>\n" %
+          (info.speed / 1e9))
+        w("\t\t\t\t<searchSWAlignments>\n")
+        w("\t\t\t\t\t<SWAbsolute>%d</SWAbsolute>\n" % info.sw_count)
+        w("\t\t\t\t\t<SWPercent>100</SWPercent>\n")
+        w("\t\t\t\t</searchSWAlignments>\n")
+        w("\t\t\t</searchInformation>\n")
+
+        w("\t\t<resultInformation>\n")
+        w("\t\t\t<resultHits>\n")
+        w("\t\t\t\t<totalCount>%d</totalCount>\n" % hl.totalhits)
+        w("\t\t\t\t<obviousCount>%d</obviousCount>\n" % hl.obvious)
+        w("\t\t\t\t<shownCount>%d</shownCount>\n" % hl.showhits)
+        w("\t\t\t</resultHits>\n")
+        w("\t\t\t<alignmentCount>%d</alignmentCount>\n" % hl.showalignments)
+        w("\t\t</resultInformation>\n")
+
+        def write_link(tag: str, pad: str, gi: int, link: str) -> None:
+            base = ("http://www.ncbi.nlm.nih.gov/entrez/query.fcgi?cmd=")
+            if gi:
+                w("%s<%sLink>\n" % (pad, tag))
+                w("%s\t<%sLinkDestination>%sRetrieve&amp;db=%s&amp;"
+                  "list_uids=%d&amp;dopt=%s</%sLinkDestination>\n" %
+                  (pad, tag, base, ncbidb, gi, ncbiopt, tag))
+                w("%s\t<%sLinkText>gi|%d</%sLinkText>\n" % (pad, tag, gi,
+                                                            tag))
+                w("%s</%sLink>\n" % (pad, tag))
+            w("%s<%sLink>\n" % (pad, tag))
+            w("%s\t<%sLinkDestination>%sSearch&amp;db=%s&amp;term=%s&amp;"
+              "doptcmdl=%s</%sLinkDestination>\n" %
+              (pad, tag, base, ncbidb, link, ncbiopt, tag))
+            w("%s\t<%sLinkText>%s</%sLinkText>\n" % (pad, tag, link, tag))
+            w("%s</%sLink>\n" % (pad, tag))
+
+        w("\t\t<shortVersionHits>\n")
+        for i in range(hl.showhits):
+            h = hl.hits[i]
+            anchor = make_anchor(st, info.queryno, h)
+            gi, link, title = defline_split((h.deflines or [h.header])[0])
+            w("\t\t\t<shortVersionHit>\n")
+            w("\t\t\t\t<shortVersionAnchor>%s</shortVersionAnchor>\n" %
+              anchor)
+            write_link("shortVersion", "\t\t\t\t", gi, link)
+            w("\t\t\t\t<shortVersionName>%.35s</shortVersionName>\n" % title)
+            if st == 0:
+                w("\t\t\t\t<shortVersionStrand>%c</shortVersionStrand>\n" %
+                  ("-" if h.qstrand else "+"))
+            elif st == 2:
+                w("\t\t\t\t<shortVersionFrame>%c%d</shortVersionFrame>\n" %
+                  ("-" if h.qstrand else "+", h.qframe + 1))
+            elif st == 3:
+                w("\t\t\t\t<shortVersionFrame>%c%d</shortVersionFrame>\n" %
+                  ("-" if h.dstrand else "+", h.dframe + 1))
+            elif st == 4:
+                w("\t\t\t\t<shortVersionFrame>%c%d/%c%d"
+                  "</shortVersionFrame>\n" %
+                  ("-" if h.qstrand else "+", h.qframe + 1,
+                   "-" if h.dstrand else "+", h.dframe + 1))
+            w("\t\t\t\t<shortVersionScore>%d</shortVersionScore>\n" %
+              h.score)
+            w("\t\t\t\t<shortVersionEValue>%.2g</shortVersionEValue>\n" %
+              (ev.evalue(h.score) if ev.available else 0.0))
+            w("\t\t\t</shortVersionHit>\n")
+        w("\t\t</shortVersionHits>\n")
+
+        if not hl.showalignments:
+            w("\t</paralignOutput>\n")
+            return
+        w("\t\t<longVersionHits>\n")
+        for i in range(hl.showalignments):
+            h = hl.hits[i]
+            anchor = make_anchor(st, info.queryno, h)
+            w("\t\t\t<longVersionHit>\n")
+            w("\t\t\t\t<longVersionAnchor>%s</longVersionAnchor>\n" % anchor)
+            w("\t\t\t\t<linkContainer>\n")
+            for d in (h.deflines or [h.header]):
+                gi, link, title = defline_split(d)
+                write_link("longVersion", "\t\t\t\t\t", gi, link)
+                w("\t\t\t\t\t<longVersionName>%s</longVersionName>\n" %
+                  title)
+            w("\t\t\t\t</linkContainer>\n")
+            if st == 0:
+                w("\t\t\t\t<databaseSequenceLength>%d nt"
+                  "</databaseSequenceLength>\n" % h.dlen)
+            elif st in (3, 4):
+                w("\t\t\t\t<databaseSequenceLength>%d nt"
+                  "</databaseSequenceLength>\n" % h.dlennt)
+            else:
+                w("\t\t\t\t<databaseSequenceLength>%d aa"
+                  "</databaseSequenceLength>\n" % h.dlen)
+            if st == 0:
+                w("\t\t\t\t<alignmentMatchLocation>%s"
+                  "</alignmentMatchLocation>\n" %
+                  ("Matches on complementary strands." if h.qstrand
+                   else "Matches on same strands."))
+            elif 2 <= st <= 4:
+                w("\t\t\t\t<longVersionFrames>\n")
+                if st in (2, 4):
+                    w("\t\t\t\t\t<longVersionQueryFrame>\n")
+                    w("\t\t\t\t\t\t<queryStrand>%c</queryStrand>\n" %
+                      ("-" if h.qstrand else "+"))
+                    w("\t\t\t\t\t\t<queryFrame>%d</queryFrame>\n" %
+                      (h.qframe + 1))
+                    w("\t\t\t\t\t</longVersionQueryFrame>\n")
+                if st in (3, 4):
+                    w("\t\t\t\t\t<longVersionDatabaseFrame>\n")
+                    w("\t\t\t\t\t\t<databaseStrand>%c</databaseStrand>\n" %
+                      ("-" if h.dstrand else "+"))
+                    w("\t\t\t\t\t\t<databaseFrame>%d</databaseFrame>\n" %
+                      (h.dframe + 1))
+                    w("\t\t\t\t\t</longVersionDatabaseFrame>\n")
+                w("\t\t\t\t</longVersionFrames>\n")
+
+            stt = self.align_stats(h, build_lines=True)
+            w("\t\t\t\t<alignment>\n")
+            w("\t\t\t\t\t<subalignment>\n")
+            w("\t\t\t\t\t\t<longVersionScore>%d</longVersionScore>\n" %
+              h.score)
+            w("\t\t\t\t\t\t<longVersionEValue>%.2g</longVersionEValue>\n" %
+              (ev.evalue(h.score) if ev.available else 0.0))
+            w("\t\t\t\t\t\t<identical>\n")
+            w("\t\t\t\t\t\t\t<identicalNominator>%d</identicalNominator>\n"
+              % stt.identities)
+            w("\t\t\t\t\t\t\t<identicalDenominator>%d"
+              "</identicalDenominator>\n" % stt.aligned)
+            w("\t\t\t\t\t\t\t<identicalPercentage>%.1f"
+              "</identicalPercentage>\n" %
+              (100.0 * stt.identities / stt.aligned))
+            w("\t\t\t\t\t\t</identical>\n")
+            if st != 0:
+                w("\t\t\t\t\t\t<positive>\n")
+                w("\t\t\t\t\t\t\t<positiveNominator>%d"
+                  "</positiveNominator>\n" % stt.positives)
+                w("\t\t\t\t\t\t\t<positiveDenominator>%d"
+                  "</positiveDenominator>\n" % stt.aligned)
+                w("\t\t\t\t\t\t\t<positivePercentage>%.1f"
+                  "</positivePercentage>\n" %
+                  (100.0 * stt.positives / stt.aligned))
+                w("\t\t\t\t\t\t</positive>\n")
+            w("\t\t\t\t\t\t<indels>\n")
+            w("\t\t\t\t\t\t\t<indelsNominator>%d</indelsNominator>\n" %
+              stt.indels)
+            w("\t\t\t\t\t\t\t<indelsDenominator>%d</indelsDenominator>\n" %
+              stt.aligned)
+            w("\t\t\t\t\t\t\t<indelsPercentage>%.1f</indelsPercentage>\n" %
+              (100.0 * stt.indels / stt.aligned))
+            w("\t\t\t\t\t\t</indels>\n")
+            w("\t\t\t\t\t\t<gaps>%d</gaps>\n" % stt.gaps)
+            w("\t\t\t\t\t\t<alignmentQuery>\n")
+            w("\t\t\t\t\t\t\t<alignmentQueryStart>%d"
+              "</alignmentQueryStart>\n" % stt.q_first)
+            w("\t\t\t\t\t\t\t<alignmentQueryLine>%s</alignmentQueryLine>\n"
+              % stt.qline)
+            w("\t\t\t\t\t\t\t<alignmentQueryEnd>%d</alignmentQueryEnd>\n" %
+              stt.q_last)
+            w("\t\t\t\t\t\t</alignmentQuery>\n")
+            w("\t\t\t\t\t\t<alignmentLine>%s</alignmentLine>\n" % stt.aline)
+            w("\t\t\t\t\t\t<alignmentDatabase>\n")
+            w("\t\t\t\t\t\t\t<alignmentDatabaseStart>%d"
+              "</alignmentDatabaseStart>\n" % stt.d_first)
+            w("\t\t\t\t\t\t\t<alignmentDatabaseLine>%s"
+              "</alignmentDatabaseLine>\n" % stt.dline)
+            w("\t\t\t\t\t\t\t<alignmentDatabaseEnd>%d"
+              "</alignmentDatabaseEnd>\n" % stt.d_last)
+            w("\t\t\t\t\t\t</alignmentDatabase>\n")
+            w("\t\t\t\t\t</subalignment>\n")
+            w("\t\t\t\t</alignment>\n")
+            w("\t\t\t</longVersionHit>\n")
+        w("\t\t</longVersionHits>\n")
+        w("\t</paralignOutput>\n")
+
+    def show(self, hl: HitList, databasename: str = "",
+             paralign: ParalignInfo | None = None) -> None:
         if self.view == 0:
             self.show_plain(hl)
         elif self.view == 7:
             self.show_xml(hl)
         elif self.view in (8, 9):
             self.show_tsv(hl, self.view == 9, databasename)
+        elif self.view == 99:
+            self.show_xml_paralign(hl, paralign or ParalignInfo(
+                databasename=databasename))
 
 
 def show_begin(out, view: int) -> None:
@@ -537,7 +856,23 @@ def show_begin(out, view: int) -> None:
     elif view == 7:
         out.write('<?xml version="1.0"?>\n')
     elif view == 99:
+        url1 = "http://www.w3.org/2001/XMLSchema-instance"
+        url2 = "http://www.paralign.org/ParalignXML.xsd"
         out.write('<?xml version="1.0"?>\n')
+        out.write('<ParalignXML xmlns:xsi="%s" '
+                  'xsi:noNamespaceSchemaLocation="%s">\n' % (url1, url2))
+        out.write("\t<programInformation>\n")
+        out.write("\t\t<programName>swipe</programName>\n")
+        out.write("\t\t<programVersion>%s</programVersion>\n" % PROGRAM)
+        out.write("\t\t<programDescription>Smith-Waterman database searches "
+                  "with inter-sequence SIMD parallelisation"
+                  "</programDescription>\n")
+        out.write("\t\t<articleReferences>\n")
+        out.write("\t\t\t<reference>%s</reference>\n" % REFLINE1)
+        out.write("\t\t</articleReferences>\n")
+        out.write("\t\t<license>SWIPE is available under the GNU Affero "
+                  "General Public License, version 3</license>\n")
+        out.write("\t</programInformation>\n")
 
 
 def show_end(out, view: int) -> None:

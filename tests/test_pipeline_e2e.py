@@ -170,3 +170,40 @@ def test_counters_and_thresholds(protein_setup):
     hits = eng.search(query)
     assert all(h.score >= hits.init_threshold for h in hits.hits)
     assert hits.totalhits >= hits.count
+
+
+def test_report_paralign_renders(protein_setup):
+    import re
+
+    from swipe_tpu.report import ParalignInfo, show_begin, show_end
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(query)
+    buf = io.StringIO()
+    show_begin(buf, 99)
+    rep = Reporter(buf, 99, 1, eng.matrix.matrix, query=query)
+    rep.show(hits, "testdb", paralign=ParalignInfo(
+        queryname="q.fa", databasename="testdb", matrixname="BLOSUM62",
+        starttime="t0", endtime="t1", elapsed=0.5, speed=1e9, sw_count=40))
+    show_end(buf, 99)
+    text = buf.getvalue()
+    assert text.startswith('<?xml version="1.0"?>\n<ParalignXML')
+    assert text.rstrip().endswith("</ParalignXML>")
+    assert "<paralignOutput>" in text and "</paralignOutput>" in text
+    assert "<shortVersionHit>" in text and "<longVersionHit>" in text
+    assert "<searchSpeed>1.000 GCUPS</searchSpeed>" in text
+    # alignment blocks carry consistent percentages
+    m = re.search(r"<identicalPercentage>([\d.]+)</identicalPercentage>",
+                  text)
+    assert m and 0.0 <= float(m.group(1)) <= 100.0
+
+
+def test_stream_backend_matches_lax(protein_setup):
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1, descriptions=40, alignments=0)
+    ref = SearchEngine(db, params, nseqs=8, backend="lax").search(query)
+    got = SearchEngine(db, params,
+                       backend="stream_interpret").search(query)
+    assert [(h.seqno, h.score) for h in got.hits] == \
+           [(h.seqno, h.score) for h in ref.hits]

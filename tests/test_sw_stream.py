@@ -1,0 +1,86 @@
+"""Stream SW kernel (lane-refill) + LPT packer vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from swipe_tpu.batching import pack_stream
+from swipe_tpu.matrices import ScoreMatrix
+from swipe_tpu.ops.sw_ref import sw_numpy_many
+from swipe_tpu.ops.sw_stream import (KSEG, build_matrix8, build_qcodes,
+                                     gather_scores, sw_scores_stream)
+
+
+@pytest.fixture(scope="module")
+def m62():
+    return ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+
+
+def _rand_seqs(rng, n, lo, hi):
+    return [rng.integers(1, 26, size=int(rng.integers(lo, hi)),
+                         dtype=np.int8) for _ in range(n)]
+
+
+def _run(queries, seqs, m, qlen_pad=128, nseqs=1024, max_cols=65536):
+    chunks = pack_stream(seqs, nseqs=nseqs, max_cols=max_cols)
+    qc, ql = build_qcodes(queries, qlen_pad)
+    m8 = build_matrix8(m.matrix)
+    got = np.zeros((len(queries), len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        out = sw_scores_stream(qc, ql, m8, ch.data, ch.start,
+                               gapopenextend=12, gapextend=1,
+                               interpret=True)
+        sc = np.asarray(gather_scores(out, ch.end_block, ch.lane))
+        got[:, ch.seqnos] = sc
+    return got, chunks
+
+
+def test_stream_matches_oracle(m62):
+    rng = np.random.default_rng(0)
+    queries = _rand_seqs(rng, 2, 10, 50)
+    seqs = _rand_seqs(rng, 2200, 1, 150)
+    got, chunks = _run(queries, seqs, m62)
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    assert np.array_equal(got, want)
+
+
+def test_stream_multi_chunk_and_long_seqs(m62):
+    # sequences spanning many blocks force cross-block H/E state carry;
+    # a small max_cols forces several kernel launches
+    rng = np.random.default_rng(1)
+    queries = _rand_seqs(rng, 1, 30, 40)
+    seqs = _rand_seqs(rng, 4000, 5, 6 * KSEG)
+    got, chunks = _run(queries, seqs, m62, max_cols=KSEG * 8)
+    assert len(chunks) > 1
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    assert np.array_equal(got, want)
+
+
+def test_stream_clamped_tier_saturates(m62):
+    # identical long sequences score far beyond 127; clamp must stick
+    rng = np.random.default_rng(2)
+    s = rng.integers(1, 26, size=200, dtype=np.int8)
+    seqs = [s] + _rand_seqs(rng, 1023, 10, 30)
+    chunks = pack_stream(seqs, nseqs=1024)
+    qc, ql = build_qcodes([s], 256)
+    m8 = build_matrix8(m62.matrix)
+    ch = chunks[0]
+    out = sw_scores_stream(qc, ql, m8, ch.data, ch.start,
+                           gapopenextend=12, gapextend=1, clamp=127,
+                           interpret=True)
+    sc = np.asarray(gather_scores(out, ch.end_block, ch.lane))
+    got = {int(sn): int(v) for sn, v in zip(ch.seqnos, sc[0])}
+    assert got[0] == 127  # saturated, flags escalation
+
+
+def test_pack_stream_occupancy():
+    rng = np.random.default_rng(3)
+    lens = np.clip(rng.lognormal(5.8, 0.5, 20_000).astype(int), 20, 3000)
+    seqs = [np.zeros(int(L), dtype=np.int8) for L in lens]
+    chunks = pack_stream(seqs, nseqs=1024, max_cols=65536)
+    occ = sum(c.residues for c in chunks) / sum(c.data.size for c in chunks)
+    assert occ > 0.9
+    # every sequence is placed exactly once
+    all_ids = np.concatenate([c.seqnos for c in chunks])
+    assert sorted(all_ids.tolist()) == list(range(len(seqs)))
