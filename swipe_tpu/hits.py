@@ -100,16 +100,23 @@ class HitList:
 
     def enter_batch(self, seqnos: np.ndarray, scores: np.ndarray,
                     qstrand: int, qframe: int,
-                    dstrands: np.ndarray, dframes: np.ndarray) -> None:
+                    dstrands: np.ndarray, dframes: np.ndarray,
+                    counts: tuple[int, int] | None = None) -> None:
         """Enter a batch of (seqno, score) results for one query frame.
 
         blastn minus-strand results are recorded as plus-query/minus-db,
-        like the reference (swipe.cc:1468-1471).
+        like the reference (swipe.cc:1468-1471).  ``counts`` supplies
+        precomputed (totalhits, obvious) increments when ``scores`` is
+        already a device-side top-K selection rather than the full batch.
         """
         seqnos = np.asarray(seqnos)
         scores = np.asarray(scores)
-        self.obvious += int((scores > self.upperscorethreshold).sum())
-        self.totalhits += int((scores >= self.init_threshold).sum())
+        if counts is None:
+            self.obvious += int((scores > self.upperscorethreshold).sum())
+            self.totalhits += int((scores >= self.init_threshold).sum())
+        else:
+            self.totalhits += int(counts[0])
+            self.obvious += int(counts[1])
         keep = (scores >= self.init_threshold) & \
                (scores <= self.upperscorethreshold)
         idx = np.nonzero(keep)[0]

@@ -34,6 +34,15 @@ block, recovered with one device-side gather (gather_scores).
 
 Arithmetic is exact int32 by default; ``clamp`` reproduces the saturating
 lower tiers of the reference's 7->16->63-bit cascade.
+
+Why there is no narrow-precision tier (the reference's core speed trick,
+search7.cc/search16.cc): the TPU v5 VPU exposes no sub-32-bit vector
+compare — Mosaic fails to legalize both int16 ``maximum`` ('arith.maxsi')
+and int16 compare+select ("Target does not support this comparison", both
+measured on a v5e chip) — so an int8/int16 DP tier cannot run at packed
+density and a single exact int32 pass is the fastest formulation.  The
+cascade survives only as tier *accounting* (pipeline._count_tiers) and the
+optional ``clamp``.
 """
 
 from __future__ import annotations
@@ -48,8 +57,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .sw_pallas import NEG_INF, PAD_SYMBOL
 
-__all__ = ["sw_scores_stream", "gather_scores", "build_matrix8",
-           "build_qcodes", "KSEG", "SUB"]
+__all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
+           "build_matrix8", "build_qcodes", "KSEG", "SUB"]
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
@@ -239,3 +248,67 @@ def gather_scores(out: jax.Array, end_block: jax.Array, lane: jax.Array
     int32 per-sequence coordinates from batching.pack_stream.
     """
     return out[:, end_block, lane]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "clamp"),
+)
+def sw_scores_stream_lax(qcodes: jax.Array, qlens: jax.Array,
+                         matrix8: jax.Array, db: jax.Array,
+                         start: jax.Array, *,
+                         gapopenextend: int, gapextend: int,
+                         clamp: int | None = None) -> jax.Array:
+    """Pure-JAX (lax.scan) twin of sw_scores_stream: same contract, any
+    backend.  The cross-check oracle for the Pallas stream kernel and the
+    CPU fallback scoring path for lane-packed chunks."""
+    nq, qlen_pad = qcodes.shape
+    L, nseqs = db.shape
+    Q, R = gapopenextend, gapextend
+    nblocks = L // KSEG
+    prof = matrix8.astype(jnp.int32)                      # [32, 32]
+    dbb = db.astype(jnp.int32).reshape(nblocks, KSEG, nseqs)
+    startb = (start != 0).reshape(nblocks, nseqs)
+    iota_q = jnp.arange(qlen_pad, dtype=jnp.int32)[:, None]
+
+    def one_query(qc, ql):
+        qprof = prof[qc]                                  # [QLEN, 32]
+        qmask = iota_q < ql                               # [QLEN, 1]
+
+        def block(carry, xs):
+            h, e, s = carry
+            cols, reset = xs
+            h = jnp.where(reset[None, :], 0, h)
+            e = jnp.where(reset[None, :], NEG_INF, e)
+            s = jnp.where(reset, 0, s)
+
+            def column(st, dj):
+                h, e, s = st
+                p = jnp.where(qmask, qprof[:, dj], -128)  # [QLEN, NSEQS]
+                e = jnp.maximum(e - R, h - Q)
+                hd = jnp.concatenate(
+                    [jnp.zeros((1, nseqs), jnp.int32), h[:-1, :]], axis=0)
+                hnof = jnp.maximum(jnp.maximum(hd + p, e), 0)
+                if clamp is not None:
+                    hnof = jnp.minimum(hnof, clamp)
+                t = jax.lax.cummax(hnof + iota_q * R, axis=0)
+                f = jnp.concatenate(
+                    [jnp.full((1, nseqs), NEG_INF, jnp.int32), t[:-1, :]],
+                    axis=0) - (Q + jnp.maximum(iota_q - 1, 0) * R)
+                h = jnp.maximum(hnof, f)
+                if clamp is not None:
+                    h = jnp.minimum(h, clamp)
+                s = jnp.maximum(s, jnp.max(h, axis=0))
+                return (h, e, s), None
+
+            (h, e, s), _ = jax.lax.scan(column, (h, e, s), cols)
+            return (h, e, s), s
+
+        zvar = dbb[0, 0, 0] * 0 + qprof[0, 0] * 0
+        init = (jnp.zeros((qlen_pad, nseqs), jnp.int32) + zvar,
+                jnp.full((qlen_pad, nseqs), NEG_INF, jnp.int32) + zvar,
+                jnp.zeros((nseqs,), jnp.int32) + zvar)
+        _, dumps = jax.lax.scan(block, init, (dbb, startb))
+        return dumps                                      # [nblocks, NSEQS]
+
+    return jax.vmap(one_query)(qcodes, qlens)

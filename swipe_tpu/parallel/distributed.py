@@ -106,3 +106,77 @@ def merge_topk(scores: np.ndarray, units: np.ndarray, k: int
     order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     return (np.take_along_axis(scores, order, axis=1),
             np.take_along_axis(units, order, axis=1))
+
+
+def shard_stream_chunk(chunk, n_db: int):
+    """Split a StreamChunk's per-sequence coordinates per device.
+
+    Lanes are assigned contiguously: device d owns lanes
+    [d*nl, (d+1)*nl).  Returns (end_block, lane_local, unit) arrays of
+    shape [n_db, M] (padded with unit -1), ready to shard over "db".
+    """
+    nseqs = chunk.nseqs
+    if nseqs % n_db:
+        raise ValueError(f"nseqs {nseqs} not divisible by n_db {n_db}")
+    nl = nseqs // n_db
+    dev = chunk.lane // nl
+    groups = [np.nonzero(dev == d)[0] for d in range(n_db)]
+    m = max((len(g) for g in groups), default=1)
+    eb = np.zeros((n_db, m), dtype=np.int32)
+    ln = np.zeros((n_db, m), dtype=np.int32)
+    un = np.full((n_db, m), -1, dtype=np.int32)
+    for d, g in enumerate(groups):
+        eb[d, : len(g)] = chunk.end_block[g]
+        ln[d, : len(g)] = chunk.lane[g] - d * nl
+        un[d, : len(g)] = chunk.seqnos[g]
+    return eb, ln, un
+
+
+def sharded_stream_topk(mesh: Mesh, qcodes, qlens, matrix8, db, start,
+                        eb, ln, units, *, gapopenextend: int,
+                        gapextend: int, k: int, backend: str = "pallas"):
+    """Stream-kernel multi-chip search step: shard lanes over "db",
+    queries over "q"; per-device score + gather + top-k, then an exact
+    all-gather merge (the MPI master/slave replacement for the production
+    stream path; see module docstring).
+
+    db/start: lane-packed chunk (batching.pack_stream), lanes sharded;
+    eb/ln/units: [n_db, M] per-device coordinates (shard_stream_chunk).
+    Returns (scores [NQ, n_db*k], units [NQ, n_db*k], psum'ed cell count).
+    """
+    from ..ops.sw_stream import sw_scores_stream, sw_scores_stream_lax
+
+    if backend == "pallas":
+        def score(qc, ql, m8, db, st):
+            return sw_scores_stream(qc, ql, m8, db, st,
+                                    gapopenextend=gapopenextend,
+                                    gapextend=gapextend)
+    else:
+        def score(qc, ql, m8, db, st):
+            return sw_scores_stream_lax(qc, ql, m8, db, st,
+                                        gapopenextend=gapopenextend,
+                                        gapextend=gapextend)
+
+    def per_device(qc, ql, m8, db, st, eb, ln, un):
+        out = score(qc, ql, m8, db, st)          # [NQ, nblocks, NL_local]
+        un = un[0]
+        sc = out[:, eb[0], ln[0]]                # [NQ, M]
+        sc = jnp.where(un[None, :] >= 0, sc, -1)
+        kk = min(k, sc.shape[1])
+        top, idx = jax.lax.top_k(sc, kk)
+        units_top = un[idx] + top * 0
+        top_all = jax.lax.all_gather(top, "db", axis=1, tiled=True)
+        units_all = jax.lax.all_gather(units_top, "db", axis=1, tiled=True)
+        cells = jax.lax.psum(jnp.sum(jnp.where(un >= 0, 1, 0))
+                             * qc.shape[0], ("db", "q"))
+        return top_all, units_all, cells
+
+    f = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("q", None), P("q"), P(None, None), P(None, "db"),
+                  P(None, "db"), P("db", None), P("db", None),
+                  P("db", None)),
+        out_specs=(P("q", None), P("q", None), P()),
+        check_vma=False,
+    )
+    return f(qcodes, qlens, matrix8, db, start, eb, ln, units)

@@ -5,14 +5,16 @@ work() /root/reference/swipe.cc:2436-2505, prepare_search/search_chunk
 swipe.cc:1365-1699).  Differences by design:
 
 * the pthread work queue over db chunks becomes a list of pre-packed
-  segment chunks scored by the Pallas kernel (swipe_tpu.ops.sw_pallas);
+  lane-stream chunks scored by the Pallas stream kernel (ops.sw_stream;
+  segment packing + ops.sw_pallas/sw_tiled remain as fallbacks);
   multi-chip sharding of the same chunk list lives in swipe_tpu.parallel;
 * all (qstrand, qframe) variants of a query are scored in ONE kernel
   call per chunk (the query axis of the kernel grid), instead of the
   reference's per-frame passes;
-* the 7->16->63-bit escalation is replaced by the exact int32 kernel;
-  cascade-compatibility counters are still reported (everything lands in
-  the "32-bit" tier unless cascade mode is enabled — swipe_tpu.ops.cascade).
+* the 7->16->63-bit escalation is replaced by the exact int32 kernel
+  (the TPU VPU has no sub-32-bit vector compare, see ops/sw_stream.py);
+  cascade-compatibility tier counters are derived from the exact scores
+  (_count_tiers) and match the reference's compute7/16/63 exactly.
 """
 
 from __future__ import annotations
@@ -31,6 +33,33 @@ from .ops.sw_pallas import build_qpt
 from .stats import EvalueModel
 
 __all__ = ["SearchEngine", "SearchParams", "SearchTimings"]
+
+
+def _chunk_reduce(sc, init_thr, *, k: int, sl7: int, sl16: int):
+    """Device-side per-chunk hit reduction: top-K candidates + counters.
+
+    Replaces transferring every score to the host (the reference instead
+    relies on a mutexed hits_enter per sequence, hits.cc:163-222).  Scores
+    are selected by (score desc, unit id desc) — the reference's insertion
+    tie order (hits.cc:188-191) — by running top_k on the unit-reversed
+    array, since lax.top_k prefers the lowest index on ties.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k", "sl7", "sl16"))
+    def reduce(sc, init_thr, k, sl7, sl16):
+        rev = sc[:, ::-1]
+        vals, ridx = jax.lax.top_k(rev, k)
+        idx = sc.shape[1] - 1 - ridx
+        totalh = (sc >= init_thr[:, None]).sum(axis=1)
+        n16 = (sc >= sl7).sum()
+        n63 = (sc >= sl16).sum()
+        return vals, idx, totalh, n16, n63
+
+    return reduce(sc, init_thr, k, sl7, sl16)
 
 
 @dataclass
@@ -75,28 +104,37 @@ class SearchTimings:
         self.starttime = time.strftime(
             "%a, %e %b %Y %H:%M:%S UTC", time.gmtime(self.start))
 
+    @staticmethod
+    def _work_multiplier(query, symtype: int, querystrands: int) -> float:
+        """Per-query cell multiplier of the GCUPS formula
+        (clock_stop, swipe.cc:1744-1775)."""
+        if symtype == 0:
+            w = len(query.nt[0])
+            return 2 * w if querystrands == 3 else w
+        if symtype in (1, 5):
+            return len(query.aa[0])
+        if symtype == 2:
+            w = len(query.nt[0])
+            return 2 * w if querystrands == 3 else w
+        if symtype == 3:
+            return 2 * len(query.aa[0])
+        if symtype == 4:
+            w = 2 * len(query.nt[0])
+            return 2 * w if querystrands == 3 else w
+        return 0
+
     def end(self, db_symcount: int, query, symtype: int, querystrands: int):
+        self.end_batch(db_symcount, [query], symtype, querystrands)
+
+    def end_batch(self, db_symcount: int, queries, symtype: int,
+                  querystrands: int):
         now = time.time()
         self.endtime = time.strftime(
             "%a, %e %b %Y %H:%M:%S UTC", time.gmtime(now))
         self.elapsed = now - self.start
-        speed = float(db_symcount)
-        if symtype == 0:
-            speed *= len(query.nt[0])
-            if querystrands == 3:
-                speed *= 2
-        elif symtype == 1 or symtype == 5:
-            speed *= len(query.aa[0])
-        elif symtype == 2:
-            speed *= len(query.nt[0])
-            if querystrands == 3:
-                speed *= 2
-        elif symtype == 3:
-            speed *= 2 * len(query.aa[0])
-        elif symtype == 4:
-            speed *= 2 * len(query.nt[0])
-            if querystrands == 3:
-                speed *= 2
+        speed = float(db_symcount) * sum(
+            self._work_multiplier(q, symtype, querystrands)
+            for q in queries)
         self.speed = speed / self.elapsed if self.elapsed > 0 else 0.0
 
 
@@ -112,14 +150,18 @@ class SearchEngine:
         self.matrix = self._build_matrix()
         stream = self.backend in ("stream", "stream_interpret")
         if nseqs is None:
-            nseqs = 1024 if stream else 512
+            nseqs = self.STREAM_CONFIGS[0][0] if stream else 512
         if max_cols is None:
             max_cols = 65536 if stream else 16384
         self._pack(nseqs, max_cols)
 
-    # longest query frame the stream kernel's VMEM state supports; longer
-    # queries fall back to the segmented lax path (still exact)
-    STREAM_MAX_QLEN = 1280
+    # stream-kernel configs: (lanes, longest query the VMEM state allows).
+    # Wider lane counts are faster (measured v5e: 2048 lanes ~1.8x 1024 —
+    # 2 vregs per op gives the VPU instruction-level parallelism) but the
+    # O(qlen) H/E state shrinks the supported query length; longer queries
+    # fall back to the segmented lax path (still exact).
+    STREAM_CONFIGS = ((2048, 512), (1024, 1280))
+    STREAM_MAX_QLEN = STREAM_CONFIGS[-1][1]
 
     @staticmethod
     def _resolve_backend(backend: str) -> str:
@@ -143,18 +185,25 @@ class SearchEngine:
             [(u.seqno, u.dstrand, u.dframe) for u in units], dtype=np.int64
         ).reshape(len(units), 3)
         unit_ids = np.arange(len(units), dtype=np.int64)
+        self._max_cols = max_cols
+        self._stream_packs: dict[int, list] = {}
+        self._dev_stream: dict[int, list] = {}
         if self.backend in ("stream", "stream_interpret"):
-            self.chunks = pack_stream(
-                self._unit_seqs, nseqs=nseqs, max_cols=max_cols,
-                seqnos=unit_ids)
+            self.chunks = self._stream_chunks(nseqs)
+            self._seg_chunks = None
         else:
             self.chunks = pack_database(
                 self._unit_seqs, nseqs=nseqs, max_cols=max_cols,
                 seqnos=unit_ids)
-        self._seg_chunks: list[PackedChunk] | None = (
-            self.chunks if self.backend not in ("stream", "stream_interpret")
-            else None)
-        self._dev_chunks = None
+            self._seg_chunks = self.chunks
+
+    def _stream_chunks(self, nseqs: int):
+        """Lane-packed chunks for the stream kernel at a lane count."""
+        if nseqs not in self._stream_packs:
+            self._stream_packs[nseqs] = pack_stream(
+                self._unit_seqs, nseqs=nseqs, max_cols=self._max_cols,
+                seqnos=np.arange(len(self._unit_seqs), dtype=np.int64))
+        return self._stream_packs[nseqs]
 
     def _segment_chunks(self) -> list[PackedChunk]:
         """Segment-packed chunks for the fallback path (built lazily)."""
@@ -185,53 +234,68 @@ class SearchEngine:
     def search(self, query: Query, timings: SearchTimings | None = None
                ) -> HitList:
         """Run the full search+align pipeline for one query."""
-        import jax.numpy as jnp
+        return self.search_batch([query], timings)[0]
 
+    def search_batch(self, queries: list[Query],
+                     timings: SearchTimings | None = None) -> list[HitList]:
+        """Search a batch of queries in one kernel pass per db chunk.
+
+        All (query, strand, frame) variants share the kernel's query grid
+        axis, so batching amortizes dispatch and db-streaming costs
+        (BASELINE configs 3-4).  Returns one finalized+aligned HitList per
+        query, in order.
+        """
         p = self.params
-        evmodel = EvalueModel(
-            p.symtype, query.length, self.db.seqcount_masked(),
-            self.db.symcount_masked(),
-            matrixname=p.matrixname if p.symtype != 0 else None,
-            matchscore=p.matchscore, mismatchscore=p.mismatchscore,
-            gapopen=p.gapopen, gapextend=p.gapextend,
-            effdbsize=p.effdbsize)
+        hitlists = []
+        for query in queries:
+            evmodel = EvalueModel(
+                p.symtype, query.length, self.db.seqcount_masked(),
+                self.db.symcount_masked(),
+                matrixname=p.matrixname if p.symtype != 0 else None,
+                matchscore=p.matchscore, mismatchscore=p.mismatchscore,
+                gapopen=p.gapopen, gapextend=p.gapextend,
+                effdbsize=p.effdbsize)
+            hitlists.append(
+                HitList(p.descriptions, p.alignments, p.minscore,
+                        p.maxscore, p.minexpect, p.expect, evmodel, self.db,
+                        p.symtype, p.querystrands))
 
-        hits = HitList(p.descriptions, p.alignments, p.minscore, p.maxscore,
-                       p.minexpect, p.expect, evmodel, self.db, p.symtype,
-                       p.querystrands)
+        # flat (hitlist, qstrand, qframe, codes) slots across the batch
+        slots = []
+        for query, hits in zip(queries, hitlists):
+            for qstrand, qframe, codes in self.query_frames(query):
+                slots.append((hits, qstrand, qframe, codes))
 
-        frames = self.query_frames(query)
-        if not frames:
-            hits.finalize()
-            return hits
-
-        if timings is not None:
-            timings.begin()
-
-        max_qlen = max(len(f[2]) for f in frames)
-        backend = self.backend
-        if backend in ("stream", "stream_interpret"):
-            qlen_pad = max(128, -(-max_qlen // 128) * 128)
-            if qlen_pad <= self.STREAM_MAX_QLEN and self.matrix.fits_int8:
-                self._search_stream(frames, hits, qlen_pad, timings,
-                                    interpret=(backend ==
-                                               "stream_interpret"))
+        if slots:
+            if timings is not None:
+                timings.begin()
+            max_qlen = max(len(s[3]) for s in slots)
+            backend = self.backend
+            if backend in ("stream", "stream_interpret"):
+                qlen_pad = max(128, -(-max_qlen // 128) * 128)
+                nseqs = next((n for n, cap in self.STREAM_CONFIGS
+                              if qlen_pad <= cap), None)
+                if nseqs is not None and self.matrix.fits_int8:
+                    self._search_stream(slots, qlen_pad, nseqs, timings,
+                                        interpret=(backend ==
+                                                   "stream_interpret"))
+                else:
+                    self._search_segments(slots, max_qlen, timings,
+                                          self._scores_fn("lax"),
+                                          self._segment_chunks())
             else:
-                self._search_segments(frames, hits, max_qlen, timings,
-                                      self._scores_fn("lax"),
-                                      self._segment_chunks())
-        else:
-            self._search_segments(frames, hits, max_qlen, timings,
-                                  self._scores_fn(backend), self.chunks)
+                self._search_segments(slots, max_qlen, timings,
+                                      self._scores_fn(backend), self.chunks)
+            if timings is not None:
+                timings.end_batch(self.db.symcount_masked(), queries,
+                                  p.symtype, p.querystrands)
 
-        if timings is not None:
-            timings.end(self.db.symcount_masked(), query, p.symtype,
-                        p.querystrands)
-
-        hits.finalize()
-        hits.align_all(query, self.matrix.matrix, p.gapopen, p.gapextend,
-               scorelimit_16=self.matrix.scorelimit_16)
-        return hits
+        for query, hits in zip(queries, hitlists):
+            hits.finalize()
+            hits.align_all(query, self.matrix.matrix, p.gapopen,
+                           p.gapextend,
+                           scorelimit_16=self.matrix.scorelimit_16)
+        return hitlists
 
     def _count_tiers(self, timings: SearchTimings | None, scores, nq: int
                      ) -> None:
@@ -258,52 +322,92 @@ class SearchEngine:
         if n63:
             timings.rounds[63] += nq
 
-    def _dev_stream_chunks(self):
+    def _dev_stream_chunks(self, nseqs: int):
+        """Device arrays per stream chunk, with the score-gather coordinates
+        sorted by unit id so score columns ascend in unit order (the exact
+        tie-break the device-side top-K relies on)."""
         import jax.numpy as jnp
-        if self._dev_chunks is None:
-            self._dev_chunks = [
-                (jnp.asarray(c.data), jnp.asarray(c.start),
-                 jnp.asarray(c.end_block), jnp.asarray(c.lane))
-                for c in self.chunks]
-        return self._dev_chunks
+        if nseqs not in self._dev_stream:
+            devs = []
+            for c in self._stream_chunks(nseqs):
+                order = np.argsort(c.seqnos, kind="stable")
+                devs.append((jnp.asarray(c.data), jnp.asarray(c.start),
+                             jnp.asarray(c.end_block[order]),
+                             jnp.asarray(c.lane[order]),
+                             c.seqnos[order]))
+            self._dev_stream[nseqs] = devs
+        return self._dev_stream[nseqs]
 
-    def _search_stream(self, frames, hits, qlen_pad, timings,
+    def _search_stream(self, slots, qlen_pad, nseqs, timings,
                        interpret=False):
-        """Score all frames with the stream kernel (ops.sw_stream)."""
+        """Score all (hitlist, strand, frame) slots with the stream kernel
+        (ops.sw_stream); the slot index is the kernel's query grid axis."""
         import jax.numpy as jnp
 
         from .ops.sw_stream import (build_matrix8, build_qcodes,
                                     gather_scores, sw_scores_stream)
         p = self.params
-        qc, ql = build_qcodes([f[2] for f in frames], qlen_pad)
+        qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
+        # the device-side top-K selection is exact only while there is no
+        # upper score cutoff (-u/-k): scores above it are *excluded* from
+        # the list but would still occupy top-K slots
+        use_topk = all(
+            s[0].upperscorethreshold >= 2**62 for s in slots)
+        init_thr = jnp.asarray(
+            [max(min(s[0].init_threshold, 2**31 - 1), -2**31) for s in slots],
+            jnp.int32)
+        kbase = max(s[0].keephits for s in slots) + 64
         # issue every chunk before the first sync: dispatch is async, so
         # device work overlaps the host-side hit entry below
         pending = []
-        for chunk, dev in zip(self.chunks, self._dev_stream_chunks()):
-            data, start, end_block, lane = dev
+        for data, start, end_block, lane, units in \
+                self._dev_stream_chunks(nseqs):
             out = sw_scores_stream(qc, ql, m8, data, start,
                                    gapopenextend=p.gapopenextend,
                                    gapextend=p.gapextend,
                                    interpret=interpret)
-            pending.append((chunk, gather_scores(out, end_block, lane)))
-        for chunk, sc in pending:
-            sc = np.asarray(sc)                      # [NQ, n_chunk_units]
-            meta = self.unit_meta[chunk.seqnos]
-            for fi, (qstrand, qframe, _) in enumerate(frames):
-                hits.enter_batch(meta[:, 0], sc[fi], qstrand, qframe,
-                                 meta[:, 1], meta[:, 2])
-            self._count_tiers(timings, sc, len(frames))
+            sc = gather_scores(out, end_block, lane)  # [NSLOTS, n]
+            if use_topk and kbase < units.shape[0]:
+                pending.append((units, _chunk_reduce(
+                    sc, init_thr, k=kbase, sl7=self.matrix.scorelimit_7,
+                    sl16=self.matrix.scorelimit_16), True))
+            else:
+                pending.append((units, sc, False))
+        for units, payload, reduced in pending:
+            if reduced:
+                vals, idx, totalh, n16, n63 = map(np.asarray, payload)
+                for fi, (hits, qstrand, qframe, _) in enumerate(slots):
+                    meta = self.unit_meta[units[idx[fi]]]
+                    hits.enter_batch(meta[:, 0], vals[fi], qstrand, qframe,
+                                     meta[:, 1], meta[:, 2],
+                                     counts=(int(totalh[fi]), 0))
+                if timings is not None:
+                    timings.compute[7] += units.shape[0] * len(slots)
+                    timings.compute[16] += int(n16)
+                    timings.compute[63] += int(n63)
+                    timings.rounds[7] += len(slots)
+                    if int(n16):
+                        timings.rounds[16] += len(slots)
+                    if int(n63):
+                        timings.rounds[63] += len(slots)
+            else:
+                sc = np.asarray(payload)             # [NSLOTS, n_chunk_units]
+                meta = self.unit_meta[units]
+                for fi, (hits, qstrand, qframe, _) in enumerate(slots):
+                    hits.enter_batch(meta[:, 0], sc[fi], qstrand, qframe,
+                                     meta[:, 1], meta[:, 2])
+                self._count_tiers(timings, sc, len(slots))
 
-    def _search_segments(self, frames, hits, max_qlen, timings,
-                         scores_fn, chunks):
-        """Score all frames with a segment-packed kernel (lax/tiled/v1)."""
+    def _search_segments(self, slots, max_qlen, timings, scores_fn, chunks):
+        """Score all (hitlist, strand, frame) slots with a segment-packed
+        kernel (lax/tiled/v1)."""
         import jax.numpy as jnp
 
         p = self.params
         qlen_pad = max(64, -(-max_qlen // 64) * 64)
-        qpt = jnp.asarray(build_qpt([f[2] for f in frames],
+        qpt = jnp.asarray(build_qpt([s[3] for s in slots],
                                     self.matrix.matrix, qlen_pad))
         for chunk in chunks:
             out = np.asarray(scores_fn(
@@ -316,9 +420,9 @@ class SearchEngine:
             uids = unit_idx[valid]
             meta = self.unit_meta[uids]
             flats = []
-            for fi, (qstrand, qframe, _) in enumerate(frames):
+            for fi, (hits, qstrand, qframe, _) in enumerate(slots):
                 flat = out[fi].reshape(-1)[valid]
                 flats.append(flat)
                 hits.enter_batch(meta[:, 0], flat, qstrand, qframe,
                                  meta[:, 1], meta[:, 2])
-            self._count_tiers(timings, np.stack(flats), len(frames))
+            self._count_tiers(timings, np.stack(flats), len(slots))

@@ -1,0 +1,47 @@
+"""Multi-device SPMD search on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swipe_tpu.batching import pack_stream
+from swipe_tpu.matrices import ScoreMatrix
+from swipe_tpu.ops.sw_ref import sw_numpy_many
+from swipe_tpu.ops.sw_stream import build_matrix8, build_qcodes
+from swipe_tpu.parallel.distributed import (make_mesh, merge_topk,
+                                            shard_stream_chunk,
+                                            sharded_stream_topk)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_stream_topk_exact():
+    rng = np.random.default_rng(0)
+    m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    queries = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+               for L in (40, 55)]
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in rng.integers(5, 120, size=3000)]
+    # 8 devices x 128 local lanes
+    ch = pack_stream(seqs, nseqs=1024)[0]
+    eb, ln, un = shard_stream_chunk(ch, n_db=4)
+    mesh = make_mesh(n_db=4, n_q=2)
+    qc, ql = build_qcodes(queries, 64)
+    k = 32
+    scores, units, cells = sharded_stream_topk(
+        mesh, jnp.asarray(qc), jnp.asarray(ql),
+        jnp.asarray(build_matrix8(m.matrix)), jnp.asarray(ch.data),
+        jnp.asarray(ch.start), jnp.asarray(eb), jnp.asarray(ln),
+        jnp.asarray(un), gapopenextend=12, gapextend=1, k=k,
+        backend="lax")
+    top_s, top_u = merge_topk(np.asarray(scores), np.asarray(units), k)
+    assert int(np.asarray(cells)) == len(seqs) * len(queries)
+
+    want = np.stack([sw_numpy_many(q, seqs, m.matrix, 11, 1)
+                     for q in queries])
+    for qi in range(len(queries)):
+        ws = np.sort(want[qi])[::-1][:k]
+        assert np.array_equal(top_s[qi], ws)
+        # every reported (unit, score) pair is genuine
+        for u, s in zip(top_u[qi], top_s[qi]):
+            assert want[qi, u] == s

@@ -207,3 +207,35 @@ def test_stream_backend_matches_lax(protein_setup):
                        backend="stream_interpret").search(query)
     assert [(h.seqno, h.score) for h in got.hits] == \
            [(h.seqno, h.score) for h in ref.hits]
+
+
+def test_search_batch_matches_single(protein_setup):
+    db, query, recs, q = protein_setup
+    rng = np.random.default_rng(4)
+    q2 = preprocess_query("q2 other", "".join(rng.choice(list(AA), 55)),
+                          1, 3)
+    params = SearchParams(symtype=1, descriptions=40, alignments=5)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    single = [eng.search(query), eng.search(q2)]
+    batch = eng.search_batch([query, q2])
+    for s, b in zip(single, batch):
+        assert [(h.seqno, h.score) for h in s.hits] == \
+               [(h.seqno, h.score) for h in b.hits]
+
+
+def test_stream_device_topk_matches_full():
+    # enough sequences that the device-side top-K reduction kicks in
+    # (keephits + 64 < n); results must equal the full-transfer path
+    rng = np.random.default_rng(8)
+    fasta, recs = _mkfasta(rng, 800, 30, 90, AA)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="big")
+    q = preprocess_query("q big", "".join(rng.choice(list(AA), 64)), 1, 3)
+    params = SearchParams(symtype=1, descriptions=20, alignments=0,
+                          expect=1e9)
+    got = SearchEngine(db, params, backend="stream_interpret").search(q)
+    ref = SearchEngine(db, params, nseqs=8, backend="lax").search(q)
+    assert got.keephits + 64 < 800
+    assert [(h.seqno, h.score) for h in got.hits] == \
+           [(h.seqno, h.score) for h in ref.hits]
+    assert got.totalhits == ref.totalhits
+    assert got.obvious == ref.obvious

@@ -84,3 +84,26 @@ def test_pack_stream_occupancy():
     # every sequence is placed exactly once
     all_ids = np.concatenate([c.seqnos for c in chunks])
     assert sorted(all_ids.tolist()) == list(range(len(seqs)))
+
+
+def test_stream_lax_matches_oracle(m62):
+    import jax.numpy as jnp
+
+    from swipe_tpu.ops.sw_stream import sw_scores_stream_lax
+    rng = np.random.default_rng(6)
+    queries = _rand_seqs(rng, 2, 10, 50)
+    seqs = _rand_seqs(rng, 300, 1, 150)
+    chunks = pack_stream(seqs, nseqs=128)
+    qc, ql = build_qcodes(queries, 64)
+    m8 = build_matrix8(m62.matrix)
+    got = np.zeros((2, len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        out = sw_scores_stream_lax(
+            jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(m8),
+            jnp.asarray(ch.data), jnp.asarray(ch.start),
+            gapopenextend=12, gapextend=1)
+        sc = np.asarray(gather_scores(out, ch.end_block, ch.lane))
+        got[:, ch.seqnos] = sc
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    assert np.array_equal(got, want)
