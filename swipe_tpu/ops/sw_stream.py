@@ -312,3 +312,203 @@ def sw_scores_stream_lax(qcodes: jax.Array, qlens: jax.Array,
         return dumps                                      # [nblocks, NSEQS]
 
     return jax.vmap(one_query)(qcodes, qlens)
+
+
+def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,
+                        bh_ref, bf_ref, sp_ref,
+                        out_ref, bho_ref, bfo_ref,
+                        hst_ref, est_ref, hrow_ref, frow_ref, s_ref, bh0_ref,
+                        oh_ref, dprof_ref, *,
+                        Q: int, R: int, tile_rows: int, clamp: int | None):
+    """One (query, db-block) step of one query-tile pass (long queries).
+
+    Identical to _stream_kernel over ``tile_rows`` query rows, except the
+    DP boundary with the tile above enters per column: bh/bf_ref hold
+    H/F of the previous tile's bottom row for this block's columns
+    ([1, KSEG, SUB, NL]); the kernel emits the same planes for its own
+    bottom row (bho/bfo_ref) for the next tile pass.  sp_ref carries the
+    previous passes' per-block S dump, max-merged into out_ref.
+    """
+    qi = pl.program_id(0)
+    b = pl.program_id(1)
+    nl = db_ref.shape[1]
+    tile = tile_ref[0]
+
+    @pl.when(b == 0)
+    def _init():
+        hst_ref[...] = jnp.zeros_like(hst_ref)
+        est_ref[...] = jnp.full_like(est_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        bh0_ref[...] = jnp.zeros_like(bh0_ref)
+
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+    dblk = db_ref[...].astype(jnp.int32)
+    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+    dprof_ref[...] = jax.lax.dot_general(
+        m8_ref[...], oh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(32, KSEG, SUB, nl)
+
+    reset = start_ref[0] != 0
+    # the tile-top boundary replaces the zero/NEG_INF row-state init of the
+    # single-tile kernel.  bh/bf were produced at THIS block by the
+    # previous tile pass, which already applied this block's lane resets —
+    # so they belong to the newly started sequence and must NOT be masked
+    for j in range(KSEG):
+        hrow_ref[j] = bh_ref[0, 0, j]
+        frow_ref[j] = bf_ref[0, 0, j]
+
+    # H[tile_top-1, col -1 of this block] = previous block's bh[KSEG-1],
+    # carried across blocks in scratch (grid is block-sequential); that
+    # column belongs to the PREVIOUS sequence on reset lanes -> masked
+    diag0_init = jnp.where(reset, 0, bh0_ref[...])
+    bh0_ref[...] = bh_ref[0, 0, KSEG - 1]
+
+    rows = jnp.clip(ql_ref[qi] - tile * tile_rows, 0, tile_rows)
+
+    def row_body(r, carry):
+        diag0, s = carry
+        qsym = qc_ref[qi, tile * tile_rows + r]
+        hst_old = jnp.where(reset, 0, hst_ref[r])
+        est_old = jnp.where(reset, NEG_INF, est_ref[r])
+        h_left = hst_old
+        e_left = est_old
+        diag = diag0
+        for j in range(KSEG):
+            p = dprof_ref[qsym, j]
+            hprev = hrow_ref[j]
+            f = jnp.maximum(frow_ref[j] - R, hprev - Q)
+            e = jnp.maximum(e_left - R, h_left - Q)
+            h = jnp.maximum(jnp.maximum(diag + p, 0), jnp.maximum(e, f))
+            if clamp is not None:
+                h = jnp.minimum(h, clamp)
+            s = jnp.maximum(s, h)
+            hrow_ref[j] = h
+            frow_ref[j] = f
+            diag = hprev
+            h_left = h
+            e_left = e
+        hst_ref[r] = h_left
+        est_ref[r] = e_left
+        return hst_old, s
+
+    _, s = jax.lax.fori_loop(
+        0, rows, row_body,
+        (diag0_init, jnp.where(reset, 0, s_ref[...])))
+    s_ref[...] = s
+    # sp_ref is per-block (not running), so a refill block's previous-pass
+    # dump already belongs to the newly started sequence — no reset here
+    out_ref[0, 0] = jnp.maximum(sp_ref[0, 0], s)
+    # bottom-row boundary for the next tile (hrow/frow hold row rows-1)
+    for j in range(KSEG):
+        bho_ref[0, 0, j] = hrow_ref[j]
+        bfo_ref[0, 0, j] = frow_ref[j]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "tile_rows", "clamp",
+                     "interpret"),
+)
+def _stream_tile_pass(qcodes, qlens, tile, matrix8, db8, start32, bh, bf,
+                      sprev, *, gapopenextend: int, gapextend: int,
+                      tile_rows: int, clamp: int | None,
+                      interpret: bool = False):
+    nq, qlen_pad = qcodes.shape
+    s8, nl = db8.shape
+    nblocks = s8 // (KSEG * SUB)
+    kernel = functools.partial(
+        _stream_tile_kernel, Q=gapopenextend, R=gapextend,
+        tile_rows=tile_rows, clamp=clamp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nq, nblocks),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, SUB, nl), jnp.int32),
+            pltpu.VMEM((tile_rows, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
+            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, nblocks, KSEG, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, nblocks, KSEG, SUB, nl), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qcodes, qlens, tile, matrix8, db8, start32, bh, bf, sprev)
+
+
+def sw_scores_stream_long(qcodes, qlens, matrix8, db, start, *,
+                          gapopenextend: int, gapextend: int,
+                          tile_rows: int = 512, clamp: int | None = None,
+                          interpret: bool = False):
+    """Stream scoring for queries longer than one VMEM tile.
+
+    Splits the query into ``tile_rows``-row tiles; each pass streams the
+    whole chunk, carrying the inter-tile DP boundary (H and the query-gap
+    chain F of the tile's bottom row, per column) in HBM — the O(qlen)
+    ``hearray`` state stays O(tile_rows) in VMEM.  The reference has no
+    length limit because its state lives in cache (swipe.cc:1240); here
+    the boundary planes cost 8 bytes/db-cell of HBM traffic per extra
+    tile, which is negligible against the DP work of tile_rows rows.
+    Contract and result match sw_scores_stream.
+    """
+    nq, qlen_pad = qcodes.shape
+    L, nseqs = db.shape
+    if qlen_pad % tile_rows:
+        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of "
+                         f"tile_rows {tile_rows}")
+    nl = nseqs // SUB
+    nblocks = L // KSEG
+    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+    start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
+    ntiles = qlen_pad // tile_rows
+
+    bh = jnp.zeros((nq, nblocks, KSEG, SUB, nl), jnp.int32)
+    bf = jnp.full((nq, nblocks, KSEG, SUB, nl), NEG_INF, jnp.int32)
+    out = jnp.zeros((nq, nblocks, SUB, nl), jnp.int32)
+    for t in range(ntiles):
+        out, bh, bf = _stream_tile_pass(
+            qcodes, qlens, jnp.asarray([t], jnp.int32), matrix8, db8,
+            start32, bh, bf, out, gapopenextend=gapopenextend,
+            gapextend=gapextend, tile_rows=tile_rows, clamp=clamp,
+            interpret=interpret)
+    return out.reshape(nq, nblocks, nseqs)

@@ -271,21 +271,29 @@ class SearchEngine:
                 timings.begin()
             max_qlen = max(len(s[3]) for s in slots)
             backend = self.backend
-            if backend in ("stream", "stream_interpret"):
+            if backend in ("stream", "stream_interpret") \
+                    and self.matrix.fits_int8:
                 qlen_pad = max(128, -(-max_qlen // 128) * 128)
                 nseqs = next((n for n, cap in self.STREAM_CONFIGS
                               if qlen_pad <= cap), None)
-                if nseqs is not None and self.matrix.fits_int8:
+                if nseqs is None:
+                    # longer than one VMEM tile: query-tiled stream kernel
+                    qlen_pad = -(-max_qlen // 512) * 512
+                    self._search_stream(slots, qlen_pad, 1024, timings,
+                                        interpret=(backend ==
+                                                   "stream_interpret"),
+                                        long=True)
+                else:
                     self._search_stream(slots, qlen_pad, nseqs, timings,
                                         interpret=(backend ==
                                                    "stream_interpret"))
-                else:
-                    self._search_segments(slots, max_qlen, timings,
-                                          self._scores_fn("lax"),
-                                          self._segment_chunks())
             else:
+                # non-int8 matrices or explicit segment backends
+                fb = "lax" if backend in ("stream", "stream_interpret") \
+                    else backend
                 self._search_segments(slots, max_qlen, timings,
-                                      self._scores_fn(backend), self.chunks)
+                                      self._scores_fn(fb),
+                                      self._segment_chunks())
             if timings is not None:
                 timings.end_batch(self.db.symcount_masked(), queries,
                                   p.symtype, p.querystrands)
@@ -339,13 +347,16 @@ class SearchEngine:
         return self._dev_stream[nseqs]
 
     def _search_stream(self, slots, qlen_pad, nseqs, timings,
-                       interpret=False):
+                       interpret=False, long=False):
         """Score all (hitlist, strand, frame) slots with the stream kernel
-        (ops.sw_stream); the slot index is the kernel's query grid axis."""
+        (ops.sw_stream); the slot index is the kernel's query grid axis.
+        ``long`` switches to the query-tiled variant (boundary planes in
+        HBM) for queries beyond one VMEM tile."""
         import jax.numpy as jnp
 
         from .ops.sw_stream import (build_matrix8, build_qcodes,
-                                    gather_scores, sw_scores_stream)
+                                    gather_scores, sw_scores_stream,
+                                    sw_scores_stream_long)
         p = self.params
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
@@ -364,10 +375,16 @@ class SearchEngine:
         pending = []
         for data, start, end_block, lane, units in \
                 self._dev_stream_chunks(nseqs):
-            out = sw_scores_stream(qc, ql, m8, data, start,
-                                   gapopenextend=p.gapopenextend,
-                                   gapextend=p.gapextend,
-                                   interpret=interpret)
+            if long:
+                out = sw_scores_stream_long(qc, ql, m8, data, start,
+                                            gapopenextend=p.gapopenextend,
+                                            gapextend=p.gapextend,
+                                            interpret=interpret)
+            else:
+                out = sw_scores_stream(qc, ql, m8, data, start,
+                                       gapopenextend=p.gapopenextend,
+                                       gapextend=p.gapextend,
+                                       interpret=interpret)
             sc = gather_scores(out, end_block, lane)  # [NSLOTS, n]
             if use_topk and kbase < units.shape[0]:
                 pending.append((units, _chunk_reduce(

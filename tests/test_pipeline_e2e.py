@@ -239,3 +239,18 @@ def test_stream_device_topk_matches_full():
            [(h.seqno, h.score) for h in ref.hits]
     assert got.totalhits == ref.totalhits
     assert got.obvious == ref.obvious
+
+
+def test_stream_long_query_pipeline(protein_setup):
+    # a query longer than the widest stream config's VMEM cap must route
+    # through the query-tiled kernel and match the lax path
+    db, _, recs, q = protein_setup
+    rng = np.random.default_rng(12)
+    longq = preprocess_query(
+        "qlong", "".join(rng.choice(list(AA), 1400)) + q, 1, 3)
+    params = SearchParams(symtype=1, descriptions=40, alignments=0)
+    ref = SearchEngine(db, params, nseqs=8, backend="lax").search(longq)
+    got = SearchEngine(db, params,
+                       backend="stream_interpret").search(longq)
+    assert [(h.seqno, h.score) for h in got.hits] == \
+           [(h.seqno, h.score) for h in ref.hits]

@@ -107,3 +107,28 @@ def test_stream_lax_matches_oracle(m62):
     want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
                      for q in queries])
     assert np.array_equal(got, want)
+
+
+def test_stream_long_query_tiled(m62):
+    import jax.numpy as jnp
+
+    from swipe_tpu.ops.sw_stream import sw_scores_stream_long
+    rng = np.random.default_rng(9)
+    # queries longer than one tile: tile_rows=64 with qlen up to 250
+    queries = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+               for L in (250, 40, 130)]
+    seqs = _rand_seqs(rng, 1100, 1, 200)
+    chunks = pack_stream(seqs, nseqs=1024)
+    qc, ql = build_qcodes(queries, 256)
+    m8 = build_matrix8(m62.matrix)
+    got = np.zeros((3, len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        out = sw_scores_stream_long(
+            jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(m8),
+            jnp.asarray(ch.data), jnp.asarray(ch.start),
+            gapopenextend=12, gapextend=1, tile_rows=64, interpret=True)
+        sc = np.asarray(gather_scores(out, ch.end_block, ch.lane))
+        got[:, ch.seqnos] = sc
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    assert np.array_equal(got, want)
