@@ -317,8 +317,28 @@ def args_show(out, a: Args, db, query, engine) -> None:
     w("\n")
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: first-run kernel compiles on the
+    TPU take minutes; cached reruns start in seconds.  Opt out with
+    SWIPE_TPU_NO_COMPILE_CACHE=1 or override via JAX_COMPILATION_CACHE_DIR."""
+    import os
+    if os.environ.get("SWIPE_TPU_NO_COMPILE_CACHE"):
+        return
+    cachedir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "swipe_tpu", "jax"))
+    try:
+        import jax
+        os.makedirs(cachedir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cachedir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     a = parse_args(sys.argv[1:] if argv is None else argv)
+    _enable_compile_cache()
     out = open(a.outfile, "w") if a.outfile else sys.stdout
 
     db = open_database(a)

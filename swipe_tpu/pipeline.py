@@ -160,7 +160,9 @@ class SearchEngine:
     # 2 vregs per op gives the VPU instruction-level parallelism) but the
     # O(qlen) H/E state shrinks the supported query length; longer queries
     # fall back to the segmented lax path (still exact).
-    STREAM_CONFIGS = ((2048, 512), (1024, 1280))
+    # caps leave ~3MB of the 16MB VMEM for the pallas pipeline's
+    # double-buffered input/output blocks (measured OOM at (2048, 512))
+    STREAM_CONFIGS = ((2048, 384), (1024, 1024))
     STREAM_MAX_QLEN = STREAM_CONFIGS[-1][1]
 
     @staticmethod

@@ -868,7 +868,8 @@ def show_begin(out, view: int) -> None:
                   "with inter-sequence SIMD parallelisation"
                   "</programDescription>\n")
         out.write("\t\t<articleReferences>\n")
-        out.write("\t\t\t<reference>%s</reference>\n" % REFLINE1)
+        out.write("\t\t\t<reference>%s</reference>\n"
+                  % REFLINE1.removeprefix("Reference: "))
         out.write("\t\t</articleReferences>\n")
         out.write("\t\t<license>SWIPE is available under the GNU Affero "
                   "General Public License, version 3</license>\n")

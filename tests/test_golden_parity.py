@@ -42,7 +42,10 @@ def ref_swipe():
 
 VOLATILE = re.compile(
     r"^(SWIPE|swipe-tpu|Search started|Search completed|Elapsed|Speed|"
-    r"# SWIPE|Database time)")
+    r"# SWIPE|Database time|\s*<programVersion>|\s*<searchStarted>|"
+    r"\s*<searchCompleted>|\s*<searchElapsedTime>|\s*<searchSpeed>|"
+    r"\s*<queryFilename>|\s*<databaseFilename>|\s*<databaseDate>|"
+    r"\s*<threads>)")
 
 
 def _normalize(text: str) -> str:
@@ -132,6 +135,8 @@ CASES = [
      "prot", "qp.fa"),
     ("blastn-strandplus", ["-p", "blastn", "-m", "8", "-S", "1"],
      "nucl", "qn.fa"),
+    ("blastp-m99", ["-p", "blastp", "-m", "99"], "prot", "qp.fa"),
+    ("blastx-m99", ["-p", "blastx", "-m", "99"], "prot", "qn.fa"),
     ("blastp-pam30", ["-p", "blastp", "-m", "9", "-M", "PAM30"],
      "prot", "qp.fa"),
 ]
