@@ -25,7 +25,7 @@ TPU-native re-design of the reference's inter-sequence SIMD DP kernels
 Arithmetic is int32: on the TPU VPU (32-bit lanes) a narrow tier is no
 faster, so the 7->16->63-bit escalation cascade is unnecessary for speed;
 a single exact pass replaces it.  ``clamp`` reproduces the saturating
-7/16-bit tiers for cascade-compatibility mode (swipe_tpu.ops.cascade).
+7/16-bit tiers; tier accounting lives in pipeline._count_tiers.
 
 Grid: (n_queries, n_db_blocks), block-minor — the H/E/S state for one query
 persists in VMEM scratch while db blocks stream through (double-buffered by
