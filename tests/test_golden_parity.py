@@ -136,6 +136,9 @@ CASES = [
     ("blastn-strandplus", ["-p", "blastn", "-m", "8", "-S", "1"],
      "nucl", "qn.fa"),
     ("blastp-m99", ["-p", "blastp", "-m", "99"], "prot", "qp.fa"),
+    ("blastp-gis", ["-p", "blastp", "-m", "9", "-I"], "prot", "qp.fa"),
+    ("dump-prot", ["-p", "blastp", "-N", "1"], "prot", "qp.fa"),
+    ("dump-nucl", ["-p", "blastn", "-N", "1"], "nucl", "qn.fa"),
     ("blastx-m99", ["-p", "blastx", "-m", "99"], "prot", "qn.fa"),
     ("blastp-pam30", ["-p", "blastp", "-m", "9", "-M", "PAM30"],
      "prot", "qp.fa"),
