@@ -62,6 +62,7 @@ __all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
+RU = 4      # query rows per inner step (amortizes row-state VMEM traffic)
 
 
 def build_matrix8(matrix: np.ndarray) -> np.ndarray:
@@ -131,34 +132,49 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, out_ref,
 
     qlen = ql_ref[qi]
 
-    def row_body(r, carry):
+    def row_body(rb, carry):
+        # RU query rows per step: p/hrow/frow traffic amortizes over the
+        # row group (rows beyond qlen see the PAD profile and decay).  The
+        # intra-group chains (F down rows, diagonal) stay in registers —
+        # the same blocking SWIPE's ONESTEP macro does 2 rows at a time
+        # (search7.cc:623-645).
         diag0, s = carry
-        qsym = qc_ref[qi, r]
-        hst_old = jnp.where(reset, 0, hst_ref[r])           # [SUB, NL]
-        est_old = jnp.where(reset, NEG_INF, est_ref[r])
-        h_left = hst_old
-        e_left = est_old
-        diag = diag0
+        base = rb * RU
+        qsyms = [qc_ref[qi, base + k] for k in range(RU)]
+        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
+                    for k in range(RU)]
+        est_olds = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                    for k in range(RU)]
+        h_left = list(hst_olds)
+        e_left = list(est_olds)
+        diag = [diag0] + hst_olds[: RU - 1]
         for j in range(KSEG):
-            p = dprof_ref[qsym, j]                          # [SUB, NL]
             hprev = hrow_ref[j]
-            f = jnp.maximum(frow_ref[j] - R, hprev - Q)
-            e = jnp.maximum(e_left - R, h_left - Q)
-            h = jnp.maximum(jnp.maximum(diag + p, 0), jnp.maximum(e, f))
-            if clamp is not None:
-                h = jnp.minimum(h, clamp)
-            s = jnp.maximum(s, h)
-            hrow_ref[j] = h
+            f = frow_ref[j]
+            hs = []
+            for k in range(RU):
+                p = dprof_ref[qsyms[k], j]                  # [SUB, NL]
+                f = jnp.maximum(f - R, (hprev if k == 0 else hs[-1]) - Q)
+                e = jnp.maximum(e_left[k] - R, h_left[k] - Q)
+                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
+                                jnp.maximum(e, f))
+                if clamp is not None:
+                    h = jnp.minimum(h, clamp)
+                s = jnp.maximum(s, h)
+                hs.append(h)
+                e_left[k] = e
+            hrow_ref[j] = hs[-1]
             frow_ref[j] = f
-            diag = hprev
-            h_left = h
-            e_left = e
-        hst_ref[r] = h_left
-        est_ref[r] = e_left
-        return hst_old, s
+            diag = [hprev] + hs[: RU - 1]
+            h_left = hs
+        for k in range(RU):
+            hst_ref[base + k] = h_left[k]
+            est_ref[base + k] = e_left[k]
+        return hst_olds[RU - 1], s
 
+    nrb = (qlen + RU - 1) // RU
     _, s = jax.lax.fori_loop(
-        0, qlen, row_body,
+        0, nrb, row_body,
         (jnp.zeros((SUB, nl), jnp.int32),
          jnp.where(reset, 0, s_ref[...])))
     s_ref[...] = s
