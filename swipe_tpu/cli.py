@@ -92,6 +92,7 @@ class Args:
         self.effdbsize = 0
         self.outfile = None
         self.backend = "auto"
+        self.batch = 1
 
 
 def parse_args(argv: list[str]) -> Args:
@@ -118,7 +119,7 @@ def parse_args(argv: list[str]) -> Args:
         "comp_based_stats": "C", "query_gencode": "Q", "db_gencode": "D",
         "filter": "F", "subalignments": "K", "dump": "N", "out": "o",
         "dbsize": "z", "show_gis": "I", "show_taxid": "H", "help": "h",
-        "backend": "BACKEND",
+        "backend": "BACKEND", "batch": "BATCH",
     }
     i = 0
     args = argv
@@ -145,10 +146,14 @@ def parse_args(argv: list[str]) -> Args:
             if short is None:
                 usage_exit()
             opt = short
-            if opt not in ("I", "H", "h", "BACKEND") and val is None:
+            if opt not in ("I", "H", "h", "BACKEND", "BATCH") and val is None:
                 val = next_val(arg)
             if opt == "BACKEND":
                 a.backend = val if val is not None else next_val(arg)
+                i += 1
+                continue
+            if opt == "BATCH":
+                a.batch = int(val if val is not None else next_val(arg))
                 i += 1
                 continue
         elif arg.startswith("-") and len(arg) >= 2:
@@ -360,15 +365,34 @@ def main(argv=None) -> int:
     engine = SearchEngine(db, params, backend=a.backend)
 
     show_begin(out, a.view)
-    for queryno, query in enumerate(
-            read_queries(a.queryname, a.symtype, a.querystrands,
-                         a.query_gencode)):
+
+    def batched_results():
+        """(queryno, query, hits, timings) in input order; --batch N scores
+        N queries per kernel pass (extension over the reference)."""
+        pending = []
+
+        def flush():
+            if not pending:
+                return
+            timings = SearchTimings()
+            hitlists = engine.search_batch([q for _, q in pending], timings)
+            for (qno, q), hl in zip(pending, hitlists):
+                yield qno, q, hl, timings
+            pending.clear()
+
+        for qno, q in enumerate(
+                read_queries(a.queryname, a.symtype, a.querystrands,
+                             a.query_gencode)):
+            pending.append((qno, q))
+            if len(pending) >= max(a.batch, 1):
+                yield from flush()
+        yield from flush()
+
+    for queryno, query, hits, timings in batched_results():
         args_show(out, a, db, query, engine)
-        timings = SearchTimings()
         if a.view == 0:
             out.write("Searching...")
             out.flush()
-        hits = engine.search(query, timings)
         if a.view == 0:
             out.write("..............................................."
                       "done\n\n")

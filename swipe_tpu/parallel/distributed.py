@@ -91,12 +91,12 @@ def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
     # check_vma=False: all_gather over "db" makes the outputs equal on
     # every db device, but this jax version's varying-axes inference does
     # not register that replication
-    f = jax.shard_map(
+    f = jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(spec_qpt, spec_db, P(None), spec_units),
         out_specs=(P("q", None), P("q", None), P()),
         check_vma=False,
-    )
+    ))
     return f(qpt, db, seg_ids, unit_ids)
 
 
@@ -132,18 +132,12 @@ def shard_stream_chunk(chunk, n_db: int):
     return eb, ln, un
 
 
-def sharded_stream_topk(mesh: Mesh, qcodes, qlens, matrix8, db, start,
-                        eb, ln, units, *, gapopenextend: int,
-                        gapextend: int, k: int, backend: str = "pallas"):
-    """Stream-kernel multi-chip search step: shard lanes over "db",
-    queries over "q"; per-device score + gather + top-k, then an exact
-    all-gather merge (the MPI master/slave replacement for the production
-    stream path; see module docstring).
-
-    db/start: lane-packed chunk (batching.pack_stream), lanes sharded;
-    eb/ln/units: [n_db, M] per-device coordinates (shard_stream_chunk).
-    Returns (scores [NQ, n_db*k], units [NQ, n_db*k], psum'ed cell count).
-    """
+@functools.lru_cache(maxsize=64)
+def _sharded_stream_fn(mesh: Mesh, gapopenextend: int, gapextend: int,
+                       k: int, backend: str):
+    """Jitted shard_map step for sharded_stream_topk, cached per config
+    (an un-jitted shard_map dispatches op-by-op — catastrophic through a
+    remote-execution tunnel)."""
     from ..ops.sw_stream import sw_scores_stream, sw_scores_stream_lax
 
     if backend == "pallas":
@@ -171,12 +165,27 @@ def sharded_stream_topk(mesh: Mesh, qcodes, qlens, matrix8, db, start,
                              * qc.shape[0], ("db", "q"))
         return top_all, units_all, cells
 
-    f = jax.shard_map(
+    return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P("q", None), P("q"), P(None, None), P(None, "db"),
                   P(None, "db"), P("db", None), P("db", None),
                   P("db", None)),
         out_specs=(P("q", None), P("q", None), P()),
         check_vma=False,
-    )
+    ))
+
+
+def sharded_stream_topk(mesh: Mesh, qcodes, qlens, matrix8, db, start,
+                        eb, ln, units, *, gapopenextend: int,
+                        gapextend: int, k: int, backend: str = "pallas"):
+    """Stream-kernel multi-chip search step: shard lanes over "db",
+    queries over "q"; per-device score + gather + top-k, then an exact
+    all-gather merge (the MPI master/slave replacement for the production
+    stream path; see module docstring).
+
+    db/start: lane-packed chunk (batching.pack_stream), lanes sharded;
+    eb/ln/units: [n_db, M] per-device coordinates (shard_stream_chunk).
+    Returns (scores [NQ, n_db*k], units [NQ, n_db*k], psum'ed cell count).
+    """
+    f = _sharded_stream_fn(mesh, gapopenextend, gapextend, k, backend)
     return f(qcodes, qlens, matrix8, db, start, eb, ln, units)

@@ -254,3 +254,31 @@ def test_stream_long_query_pipeline(protein_setup):
                        backend="stream_interpret").search(longq)
     assert [(h.seqno, h.score) for h in got.hits] == \
            [(h.seqno, h.score) for h in ref.hits]
+
+
+def test_cli_batch_output_identical(tmp_path):
+    # --batch N must render byte-identical reports to sequential runs
+    import re
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main as cli_main
+    rng = np.random.default_rng(21)
+    fasta, recs = _mkfasta(rng, 60, 40, 120, AA)
+    (tmp_path / "db.fa").write_text(fasta)
+    qs = "".join(">q%d query %d\n%s\n" %
+                 (i, i, "".join(rng.choice(list(AA), 50)))
+                 for i in range(5))
+    (tmp_path / "q.fa").write_text(qs)
+    volatile = re.compile(r"^(Search started|Search completed|Elapsed|Speed)")
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(["-i", str(tmp_path / "q.fa"),
+                           "-d", str(tmp_path / "db.fa"), "-m", "0",
+                           "--backend", "lax"] + extra)
+        assert rc == 0
+        return "\n".join(l for l in buf.getvalue().splitlines()
+                         if not volatile.match(l))
+
+    assert run([]) == run(["--batch", "5"])
