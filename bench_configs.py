@@ -1,0 +1,108 @@
+"""BASELINE.md measurement configs 2-4 (one JSON line each).
+
+bench.py covers config 1 (the driver's headline metric); this script
+exercises the fuller configurations end-to-end through SearchEngine —
+E-values, gapped alignments of the top hits, query batches, nucleotide
+mode — on whatever device is available.  Scales are trimmed to finish in
+minutes; pass --full for the full BASELINE sizes.
+"""
+
+import io
+import json
+import sys
+import time
+
+import numpy as np
+
+AA = "ARNDCQEGHILKMFPSTWYV"
+NT = "ACGT"
+
+
+def _fasta(rng, n, lo, hi, alphabet):
+    out = []
+    for i in range(n):
+        s = "".join(rng.choice(list(alphabet), int(rng.integers(lo, hi))))
+        out.append(f">s{i} seq {i}\n{s}\n")
+    return "".join(out)
+
+
+def config2():
+    """~200aa query, BLOSUM62, 10k-seq db, alignments + E-values."""
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.pipeline import SearchEngine, SearchParams, SearchTimings
+
+    rng = np.random.default_rng(0)
+    db = FastaDatabase(io.StringIO(_fasta(rng, 10_000, 120, 700, AA)), "aa",
+                       title="cfg2")
+    q = preprocess_query("q cfg2", "".join(rng.choice(list(AA), 200)), 1, 3)
+    eng = SearchEngine(db, SearchParams(symtype=1, gapopen=11, gapextend=1,
+                                        alignments=100))
+    eng.search(q)                       # warm-up/compile
+    t = SearchTimings()
+    hits = eng.search(q, t)
+    assert hits.evmodel.available and hits.count > 0
+    return {"metric": "cfg2_blastp_aligned_evalues",
+            "value": round(t.speed / 1e9, 3), "unit": "GCUPS",
+            "hits": hits.count}
+
+
+def config3(full: bool):
+    """Nucleotide +1/-3, query batch vs DNA db (BASELINE: 1k x 100k)."""
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.pipeline import SearchEngine, SearchParams, SearchTimings
+
+    nq, ndb = (1000, 100_000) if full else (256, 100_000)
+    rng = np.random.default_rng(1)
+    db = FastaDatabase(io.StringIO(_fasta(rng, ndb, 200, 800, NT)), "nt",
+                       title="cfg3")
+    queries = [preprocess_query(f"q{i}", "".join(rng.choice(list(NT), 500)),
+                                0, 3) for i in range(nq)]
+    eng = SearchEngine(db, SearchParams(symtype=0, matchscore=1,
+                                        mismatchscore=-3, gapopen=5,
+                                        gapextend=2, alignments=0,
+                                        descriptions=100))
+    eng.search_batch(queries[:8])       # warm-up/compile
+    t = SearchTimings()
+    hls = eng.search_batch(queries, t)
+    assert all(h.count >= 0 for h in hls)
+    return {"metric": f"cfg3_blastn_batch{nq}_db{ndb}",
+            "value": round(t.speed / 1e9, 3), "unit": "GCUPS"}
+
+
+def config4(full: bool):
+    """Swiss-Prot-scale protein db, query batch (BASELINE: 570k x 100q)."""
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.pipeline import SearchEngine, SearchParams, SearchTimings
+
+    nq, ndb = (100, 570_000) if full else (16, 120_000)
+    rng = np.random.default_rng(2)
+    db = FastaDatabase(io.StringIO(_fasta(rng, ndb, 120, 700, AA)), "aa",
+                       title="cfg4")
+    queries = [preprocess_query(f"q{i}", "".join(rng.choice(list(AA), 200)),
+                                1, 3) for i in range(nq)]
+    eng = SearchEngine(db, SearchParams(symtype=1, gapopen=11, gapextend=1,
+                                        alignments=0, descriptions=100))
+    eng.search_batch(queries[:16])      # warm-up/compile (same slot-group size)
+    t = SearchTimings()
+    eng.search_batch(queries, t)
+    return {"metric": f"cfg4_blastp_batch{nq}_db{ndb}",
+            "value": round(t.speed / 1e9, 3), "unit": "GCUPS"}
+
+
+def main():
+    full = "--full" in sys.argv
+    only = [a for a in sys.argv[1:] if a.startswith("--cfg=")]
+    want = only[0].split("=")[1].split(",") if only else ["2", "3", "4"]
+    if "2" in want:
+        print(json.dumps(config2()), flush=True)
+    if "3" in want:
+        print(json.dumps(config3(full)), flush=True)
+    if "4" in want:
+        print(json.dumps(config4(full)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

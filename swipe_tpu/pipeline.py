@@ -35,6 +35,22 @@ from .stats import EvalueModel
 __all__ = ["SearchEngine", "SearchParams", "SearchTimings"]
 
 
+def _chunk_reduce_impl(sc, init_thr, k, sl7, sl16):
+    import jax
+    import jax.numpy as jnp  # noqa: F401
+
+    rev = sc[:, ::-1]
+    vals, ridx = jax.lax.top_k(rev, k)
+    idx = sc.shape[1] - 1 - ridx
+    totalh = (sc >= init_thr[:, None]).sum(axis=1)
+    n16 = (sc >= sl7).sum()
+    n63 = (sc >= sl16).sum()
+    return vals, idx, totalh, n16, n63
+
+
+_chunk_reduce_jit = None
+
+
 def _chunk_reduce(sc, init_thr, *, k: int, sl7: int, sl16: int):
     """Device-side per-chunk hit reduction: top-K candidates + counters.
 
@@ -43,23 +59,20 @@ def _chunk_reduce(sc, init_thr, *, k: int, sl7: int, sl16: int):
     are selected by (score desc, unit id desc) — the reference's insertion
     tie order (hits.cc:188-191) — by running top_k on the unit-reversed
     array, since lax.top_k prefers the lowest index on ties.
+
+    The jitted implementation is a module-level singleton: a fresh jit
+    per call would re-trace (and round-trip the remote compiler) on every
+    chunk.
     """
     import functools
 
     import jax
-    import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnames=("k", "sl7", "sl16"))
-    def reduce(sc, init_thr, k, sl7, sl16):
-        rev = sc[:, ::-1]
-        vals, ridx = jax.lax.top_k(rev, k)
-        idx = sc.shape[1] - 1 - ridx
-        totalh = (sc >= init_thr[:, None]).sum(axis=1)
-        n16 = (sc >= sl7).sum()
-        n63 = (sc >= sl16).sum()
-        return vals, idx, totalh, n16, n63
-
-    return reduce(sc, init_thr, k, sl7, sl16)
+    global _chunk_reduce_jit
+    if _chunk_reduce_jit is None:
+        _chunk_reduce_jit = jax.jit(
+            _chunk_reduce_impl, static_argnames=("k", "sl7", "sl16"))
+    return _chunk_reduce_jit(sc, init_thr, k, sl7, sl16)
 
 
 @dataclass
@@ -348,12 +361,24 @@ class SearchEngine:
             self._dev_stream[nseqs] = devs
         return self._dev_stream[nseqs]
 
+    # slots scored per kernel pass: bounds the [nslots, nblocks, nseqs]
+    # per-block dump (1k-query batches would otherwise exhaust HBM)
+    SLOT_BATCH = 16
+
     def _search_stream(self, slots, qlen_pad, nseqs, timings,
                        interpret=False, long=False):
         """Score all (hitlist, strand, frame) slots with the stream kernel
-        (ops.sw_stream); the slot index is the kernel's query grid axis.
-        ``long`` switches to the query-tiled variant (boundary planes in
-        HBM) for queries beyond one VMEM tile."""
+        (ops.sw_stream); the slot index is the kernel's query grid axis,
+        processed SLOT_BATCH at a time.  ``long`` switches to the
+        query-tiled variant (boundary planes in HBM) for queries beyond
+        one VMEM tile."""
+        for i in range(0, len(slots), self.SLOT_BATCH):
+            self._search_stream_group(slots[i:i + self.SLOT_BATCH],
+                                      qlen_pad, nseqs, timings,
+                                      interpret=interpret, long=long)
+
+    def _search_stream_group(self, slots, qlen_pad, nseqs, timings,
+                             interpret=False, long=False):
         import jax.numpy as jnp
 
         from .ops.sw_stream import (build_matrix8, build_qcodes,
