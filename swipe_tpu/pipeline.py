@@ -284,30 +284,37 @@ class SearchEngine:
         if slots:
             if timings is not None:
                 timings.begin()
-            max_qlen = max(len(s[3]) for s in slots)
             backend = self.backend
             if backend in ("stream", "stream_interpret") \
                     and self.matrix.fits_int8:
-                qlen_pad = max(128, -(-max_qlen // 128) * 128)
-                nseqs = next((n for n, cap in self.STREAM_CONFIGS
-                              if qlen_pad <= cap), None)
-                if nseqs is None:
-                    # longer than one VMEM tile: query-tiled stream kernel
-                    qlen_pad = -(-max_qlen // 512) * 512
-                    self._search_stream(slots, qlen_pad, 1024, timings,
-                                        interpret=(backend ==
-                                                   "stream_interpret"),
-                                        long=True)
-                else:
-                    self._search_stream(slots, qlen_pad, nseqs, timings,
-                                        interpret=(backend ==
-                                                   "stream_interpret"))
+                interp = backend == "stream_interpret"
+                # group slots by length so one long query doesn't push the
+                # whole batch onto a slower configuration; hit entry is
+                # per-slot so scoring order doesn't matter
+                slots_sorted = sorted(slots, key=lambda s: len(s[3]))
+                groups: list[tuple] = []
+                for s in slots_sorted:
+                    qlen_pad = max(128, -(-len(s[3]) // 128) * 128)
+                    nseqs = next((n for n, cap in self.STREAM_CONFIGS
+                                  if qlen_pad <= cap), None)
+                    if nseqs is None:
+                        qlen_pad = -(-len(s[3]) // 512) * 512
+                        cfg = (qlen_pad, 1024, True)
+                    else:
+                        cfg = (qlen_pad, nseqs, False)
+                    if groups and groups[-1][0] == cfg:
+                        groups[-1][1].append(s)
+                    else:
+                        groups.append((cfg, [s]))
+                for (qlen_pad, nseqs, long), group in groups:
+                    self._search_stream(group, qlen_pad, nseqs, timings,
+                                        interpret=interp, long=long)
             else:
                 # non-int8 matrices or explicit segment backends
                 fb = "lax" if backend in ("stream", "stream_interpret") \
                     else backend
-                self._search_segments(slots, max_qlen, timings,
-                                      self._scores_fn(fb),
+                self._search_segments(slots, max(len(s[3]) for s in slots),
+                                      timings, self._scores_fn(fb),
                                       self._segment_chunks())
             if timings is not None:
                 timings.end_batch(self.db.symcount_masked(), queries,

@@ -282,3 +282,21 @@ def test_cli_batch_output_identical(tmp_path):
                          if not volatile.match(l))
 
     assert run([]) == run(["--batch", "5"])
+
+
+def test_batch_mixed_lengths_grouped(protein_setup):
+    # short + very long queries in one batch: each routes to its own
+    # stream configuration; results must match per-query lax searches
+    db, query, recs, q = protein_setup
+    rng = np.random.default_rng(31)
+    longq = preprocess_query(
+        "qlong2", "".join(rng.choice(list(AA), 1300)) + q[:40], 1, 3)
+    shortq = preprocess_query("qs", q[:50], 1, 3)
+    params = SearchParams(symtype=1, descriptions=40, alignments=0)
+    lax = SearchEngine(db, params, nseqs=8, backend="lax")
+    want = [lax.search(qq) for qq in (shortq, longq)]
+    got = SearchEngine(db, params, backend="stream_interpret"
+                       ).search_batch([shortq, longq])
+    for w, g in zip(want, got):
+        assert [(h.seqno, h.score) for h in w.hits] == \
+               [(h.seqno, h.score) for h in g.hits]
