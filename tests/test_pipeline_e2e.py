@@ -300,3 +300,20 @@ def test_batch_mixed_lengths_grouped(protein_setup):
     for w, g in zip(want, got):
         assert [(h.seqno, h.score) for h in w.hits] == \
                [(h.seqno, h.score) for h in g.hits]
+
+
+def test_sound_mode_e2e():
+    # symtype 5 ("sound", swipe.cc symtype 5): plain scores, no E-values
+    rng = np.random.default_rng(41)
+    fasta, recs = _mkfasta(rng, 20, 30, 80, AA)
+    db = FastaDatabase(io.StringIO(fasta), "sound", title="sounddb")
+    q = preprocess_query("qs sound", recs[3][1][:40], 5, 3)
+    params = SearchParams(symtype=5, gapopen=11, gapextend=1)
+    eng = SearchEngine(db, params, nseqs=8, backend="lax")
+    hits = eng.search(q)
+    assert hits.count > 0
+    assert not hits.evmodel.available
+    buf = io.StringIO()
+    rep = Reporter(buf, 0, 5, eng.matrix.matrix, query=q)
+    rep.show(hits, "sounddb")
+    assert "Score" in buf.getvalue()
