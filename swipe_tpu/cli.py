@@ -334,6 +334,11 @@ def _enable_compile_cache() -> None:
         os.path.join(os.path.expanduser("~"), ".cache", "swipe_tpu", "jax"))
     try:
         import jax
+        if jax.default_backend() in ("cpu",):
+            # CPU AOT results are machine-feature-specific; a cache entry
+            # from another machine can SIGILL on load, and CPU compiles
+            # are fast anyway
+            return
         os.makedirs(cachedir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cachedir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
@@ -391,6 +396,13 @@ def main(argv=None) -> int:
     for queryno, query, hits, timings in batched_results():
         args_show(out, a, db, query, engine)
         if a.view == 0:
+            # hits_init warning (hits.cc:504-505), printed when statistics
+            # are unavailable for the (matrix, gap) combination
+            if not hits.evmodel.available:
+                out.write("Statistical parameters are not available "
+                          "for the scoring system specified.\n"
+                          "Bit scores and E-values will not be "
+                          "computed.\n\n")
             out.write("Searching...")
             out.flush()
         if a.view == 0:

@@ -1,0 +1,151 @@
+"""Golden fuzzer: random (db, query, flags) cases vs the reference binary.
+
+Builds the reference swipe once (x86), then loops: write a random BLAST v4
+db with our writer, run both programs with random flag combinations, and
+byte-compare normalized outputs.  Prints each failing case's repro command
+and first diff; exits nonzero if any case failed.
+
+Usage: python tools/fuzz_golden.py [N_CASES] [SEED]
+"""
+
+import io
+import os
+import re
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from swipe_tpu.alphabet import MAP_NCBI_AA, MAP_NCBI_NT16, encode  # noqa: E402
+from swipe_tpu.io.blastdb_writer import make_deflines, write_blastdb  # noqa: E402
+
+REF_SRC = "/root/reference"
+REF_BIN_DIR = "/tmp/swipe_tpu_refbuild"
+AA = list("ARNDCQEGHILKMFPSTWYVBZX")
+NT = list("ACGTACGTACGTACGTRYN")  # mostly unambiguous, some ambiguity
+
+VOLATILE = re.compile(
+    r"^(SWIPE|swipe-tpu|Search started|Search completed|Elapsed|Speed|"
+    r"# SWIPE|Database time|\s*<programVersion>|\s*<searchStarted>|"
+    r"\s*<searchCompleted>|\s*<searchElapsedTime>|\s*<searchSpeed>|"
+    r"\s*<queryFilename>|\s*<databaseFilename>|\s*<databaseDate>|"
+    r"\s*<threads>)")
+
+
+def normalize(text):
+    return "\n".join(l for l in text.splitlines() if not VOLATILE.match(l))
+
+
+def build_ref():
+    binpath = os.path.join(REF_BIN_DIR, "swipe")
+    if not os.path.exists(binpath):
+        shutil.copytree(REF_SRC, REF_BIN_DIR, dirs_exist_ok=True)
+        subprocess.run(["make", "-j4", "swipe"], cwd=REF_BIN_DIR, check=True,
+                       capture_output=True)
+    return binpath
+
+
+def run_ours(args):
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(args + ["--backend", "lax"])
+    assert rc == 0
+    return buf.getvalue()
+
+
+def one_case(ref_bin, d, rng, case):
+    mode = rng.choice(["blastp", "blastn", "blastx", "tblastn", "tblastx"])
+    protdb = mode in ("blastp", "blastx")
+    alpha, cmap, dbt = (AA, MAP_NCBI_AA, "aa") if protdb else \
+        (NT, MAP_NCBI_NT16, "nt")
+    nseq = int(rng.integers(3, 40))
+    seqs, descs = [], []
+    for i in range(nseq):
+        s = "".join(rng.choice(alpha, int(rng.integers(3, 200))))
+        seqs.append(encode(s, cmap))
+        descs.append(f"fz{i} fuzz sequence {i} with words")
+    dbp = os.path.join(d, f"db{case}")
+    write_blastdb(dbp, seqs, make_deflines(descs), dbt,
+                  title=f"fuzz db {case}", date="Jun 6, 2025  6:06 PM")
+
+    qalpha = AA if mode in ("blastp", "tblastn") else NT
+    qlen = int(rng.integers(8, 150))
+    q = "".join(rng.choice(qalpha, qlen))
+    qf = os.path.join(d, f"q{case}.fa")
+    with open(qf, "w") as f:
+        f.write(f">fq{case} fuzz query {case}\n{q}\n")
+
+    args = ["-p", mode, "-d", dbp, "-i", qf,
+            "-m", str(rng.choice([0, 7, 8, 9, 99]))]
+    if rng.random() < 0.3:
+        args += ["-e", str(rng.choice([0.1, 1.0, 100.0]))]
+    if rng.random() < 0.2:
+        args += ["-k", str(rng.choice([1e-5, 0.01]))]
+    if rng.random() < 0.3:
+        args += ["-b", str(int(rng.integers(0, 6))),
+                 "-v", str(int(rng.integers(1, 10)))]
+    if rng.random() < 0.2:
+        args += ["-c", str(int(rng.integers(1, 30)))]
+    if rng.random() < 0.25 and mode != "blastn":
+        args += ["-M", str(rng.choice(["BLOSUM50", "BLOSUM80", "PAM70"])),
+                 "-G", "10", "-E", "1"]
+    if rng.random() < 0.2 and mode in ("blastn", "blastx", "tblastx"):
+        args += ["-S", str(int(rng.integers(1, 4)))]
+    if rng.random() < 0.2:
+        args += ["-I"]
+    if rng.random() < 0.15 and mode in ("blastx", "tblastx"):
+        args += ["-Q", str(rng.choice([1, 2, 5, 11]))]
+    if rng.random() < 0.15 and mode in ("tblastn", "tblastx"):
+        args += ["-D", str(rng.choice([1, 4]))]
+
+    r = subprocess.run([ref_bin] + args, capture_output=True, timeout=120)
+    if r.returncode != 0:
+        return None  # reference rejected the combination; skip
+    ref_out = normalize(r.stdout.decode())
+    our_out = normalize(run_ours(args))
+    if ref_out != our_out:
+        la, lb = ref_out.splitlines(), our_out.splitlines()
+        diffs = []
+        for i in range(max(len(la), len(lb))):
+            xa = la[i] if i < len(la) else "<EOF>"
+            xb = lb[i] if i < len(lb) else "<EOF>"
+            if xa != xb:
+                diffs.append(f"  line {i}: ref={xa!r}\n  line {i}: our={xb!r}")
+                if len(diffs) >= 3:
+                    break
+        return "CASE %d FAILED: %s\n%s" % (case, " ".join(args),
+                                           "\n".join(diffs))
+    return ""
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    ref_bin = build_ref()
+    rng = np.random.default_rng(seed)
+    d = tempfile.mkdtemp(prefix="swfuzz")
+    fails = skipped = 0
+    for case in range(n):
+        res = one_case(ref_bin, d, rng, case)
+        if res is None:
+            skipped += 1
+        elif res:
+            fails += 1
+            print(res, flush=True)
+    print(f"fuzz: {n} cases, {fails} failed, {skipped} skipped")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
