@@ -393,6 +393,7 @@ def main(argv=None) -> int:
                 yield from flush()
         yield from flush()
 
+    totalhits_seen = 0
     for queryno, query, hits, timings in batched_results():
         args_show(out, a, db, query, engine)
         if a.view == 0:
@@ -427,7 +428,9 @@ def main(argv=None) -> int:
                 threads=a.threads, queryno=queryno,
                 starttime=timings.starttime, endtime=timings.endtime,
                 elapsed=timings.elapsed, speed=timings.speed,
-                sw_count=timings.compute[7])
+                sw_count=timings.compute[7],
+                totalhits_offset=totalhits_seen)
+        totalhits_seen += hits.totalhits
         rep.show(hits, a.databasename, paralign=paralign)
     show_end(out, a.view)
     if a.outfile:

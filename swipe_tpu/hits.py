@@ -175,6 +175,13 @@ class HitList:
             h.deflines = self.db.get_deflines(h.seqno)
             h.header = h.deflines[0] if h.deflines else ""
             if i >= self.opt_alignments:
+                # not aligned, but displays may still need the sequence
+                # length (-m 7 <len>); the reference prints stale memory
+                # here — we report the true length (see report.show_xml)
+                dseq, ntlen = self.db.get_sequence(
+                    h.seqno, self.symtype, h.dstrand, h.dframe)
+                h.dlen = len(dseq)
+                h.dlennt = ntlen
                 continue
             dseq, ntlen = self.db.get_sequence(
                 h.seqno, self.symtype, h.dstrand, h.dframe)

@@ -176,6 +176,11 @@ class ParalignInfo:
     elapsed: float = 0.0
     speed: float = 0.0
     sw_count: int = 0
+    # the reference's hits_init never resets the global ``totalhits``
+    # (hits.cc:317 resets only ``obvious``), so in multi-query runs the
+    # ParAlign XML totalCount accumulates across queries; the CLI passes
+    # the running total of earlier queries here for byte parity
+    totalhits_offset: int = 0
 
 
 @dataclass
@@ -529,6 +534,11 @@ class Reporter:
             w("      <name>%s</name>\n" %
               render_header(h.deflines or [h.header], 0, 0, LONG_MAX, 1,
                             True))
+            # KNOWN DEVIATION: for hits beyond -b the reference prints
+            # uninitialized/stale memory here (hits.cc:560-567 sets dlen
+            # only when i < opt_alignments, and hits_enter's struct moves
+            # shuffle whatever the reused malloc block held).  We print
+            # the true sequence length instead.
             w("      <len>%d</len>\n" % h.dlen)
             w("      <score>%d</score>\n" % h.score)
             if i < hl.showalignments:
@@ -675,7 +685,8 @@ class Reporter:
 
         w("\t\t<resultInformation>\n")
         w("\t\t\t<resultHits>\n")
-        w("\t\t\t\t<totalCount>%d</totalCount>\n" % hl.totalhits)
+        w("\t\t\t\t<totalCount>%d</totalCount>\n"
+          % (info.totalhits_offset + hl.totalhits))
         w("\t\t\t\t<obviousCount>%d</obviousCount>\n" % hl.obvious)
         w("\t\t\t\t<shownCount>%d</shownCount>\n" % hl.showhits)
         w("\t\t\t</resultHits>\n")
