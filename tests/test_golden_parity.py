@@ -115,6 +115,32 @@ def dbs(tmp_path_factory):
     return d
 
 
+def test_golden_multivolume(ref_swipe, dbs, tmp_path):
+    """Both programs read the same two-volume alias db identically."""
+    rng = np.random.default_rng(77)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    qp = "".join(rng.choice(AAl, 60))
+    vols = []
+    for v in range(2):
+        seqs, descs = [], []
+        for i in range(12):
+            s = "".join(rng.choice(AAl, int(rng.integers(30, 100))))
+            if v == 0 and i == 5:
+                s = qp[5:55]
+            seqs.append(encode(s, MAP_NCBI_AA))
+            descs.append(f"v{v}s{i} volume {v} seq {i}")
+        write_blastdb(str(tmp_path / f"vol{v}"), seqs,
+                      make_deflines(descs), "aa",
+                      title=f"vol {v}", date="Jan 1, 2026  12:00 AM")
+        vols.append(f"vol{v}")
+    (tmp_path / "multi.pal").write_text(
+        "TITLE  combined golden db\nDBLIST %s\n" % " ".join(vols))
+    (tmp_path / "q.fa").write_text(f">q multi query\n{qp}\n")
+    args = ["-p", "blastp", "-m", "9",
+            "-d", str(tmp_path / "multi"), "-i", str(tmp_path / "q.fa")]
+    assert _normalize(run_ours(args)) == _normalize(run_ref(ref_swipe, args))
+
+
 CASES = [
     ("blastp-m8", ["-p", "blastp", "-m", "8"], "prot", "qp.fa"),
     ("blastp-m9", ["-p", "blastp", "-m", "9"], "prot", "qp.fa"),
