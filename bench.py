@@ -51,7 +51,7 @@ def main():
                                              gather_scores, sw_scores_stream)
         m8 = jnp.asarray(build_matrix8(m.matrix))
         chunks = pack_stream(seqs, nseqs=2048, max_cols=65536)
-        dev = [(jnp.asarray(c.data), jnp.asarray(c.start),
+        dev = [(jnp.asarray(c.data_t).T, jnp.asarray(c.start),
                 jnp.asarray(c.end_block), jnp.asarray(c.lane))
                for c in chunks]
         qcs = [tuple(map(jnp.asarray, build_qcodes([q], 256)))

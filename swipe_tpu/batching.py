@@ -148,7 +148,10 @@ class StreamChunk:
     kernel resets that lane's state there).  Sequence k's score is the
     kernel's per-block dump at (end_block[k], lane[k]).
 
-    data:      [L, nseqs] int8, PAD_SYMBOL padded, L multiple of KSEG
+    data_t:    [nseqs, L] int8, PAD_SYMBOL padded, L multiple of KSEG —
+               lane-major so each sequence is one contiguous memcpy at
+               pack time; consumers needing the kernel's [L, nseqs] view
+               transpose on device (cheap) or use ``.data`` (host copy)
     start:     [L // KSEG, nseqs] int8
     seqnos:    [n] int64 original sequence ids
     lane:      [n] int32
@@ -156,7 +159,7 @@ class StreamChunk:
     residues:  true residue count (for occupancy accounting)
     """
 
-    data: np.ndarray
+    data_t: np.ndarray
     start: np.ndarray
     seqnos: np.ndarray
     lane: np.ndarray
@@ -164,16 +167,21 @@ class StreamChunk:
     residues: int
 
     @property
+    def data(self) -> np.ndarray:
+        """[L, nseqs] host copy (tests / lax paths)."""
+        return np.ascontiguousarray(self.data_t.T)
+
+    @property
     def nseqs(self) -> int:
-        return self.data.shape[1]
+        return self.data_t.shape[0]
 
     @property
     def n_cols(self) -> int:
-        return self.data.shape[0]
+        return self.data_t.shape[1]
 
     @property
     def occupancy(self) -> float:
-        return self.residues / (self.data.size or 1)
+        return self.residues / (self.data_t.size or 1)
 
 
 def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
@@ -208,16 +216,20 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
             loads[ln] = used
         # bucket the block count (bounded compile-cache shapes)
         nblocks = round_up(int(loads.max()), 8)
-        data = np.full((nblocks * block, nseqs), PAD_SYMBOL, dtype=np.int8)
+        # lane-major build: each sequence lands with ONE contiguous copy
+        # ([L, nseqs] column writes are 2KB-strided and ~10x slower)
+        data_t = np.full((nseqs, nblocks * block), PAD_SYMBOL,
+                         dtype=np.int8)
         start = np.zeros((nblocks, nseqs), dtype=np.int8)
         snos, lanev, endv = [], [], []
         residues = 0
         for ln in range(nseqs):
+            row = data_t[ln]
             b = 0
             for si in members[ln]:
                 s = seqs[si]
                 nb = max(-(-len(s) // block), 1)
-                data[b * block: b * block + len(s), ln] = s
+                row[b * block: b * block + len(s)] = s
                 start[b, ln] = 1
                 snos.append(seqnos[si])
                 lanev.append(ln)
@@ -225,7 +237,7 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
                 residues += len(s)
                 b += nb
         chunks.append(StreamChunk(
-            data, start,
+            data_t, start,
             np.array(snos, dtype=np.int64),
             np.array(lanev, dtype=np.int32),
             np.array(endv, dtype=np.int32),

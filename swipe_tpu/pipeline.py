@@ -361,7 +361,9 @@ class SearchEngine:
             devs = []
             for c in self._stream_chunks(nseqs):
                 order = np.argsort(c.seqnos, kind="stable")
-                devs.append((jnp.asarray(c.data), jnp.asarray(c.start),
+                # upload lane-major and transpose on device (the host-side
+                # transpose of a multi-hundred-MB chunk is the slow part)
+                devs.append((jnp.asarray(c.data_t).T, jnp.asarray(c.start),
                              jnp.asarray(c.end_block[order]),
                              jnp.asarray(c.lane[order]),
                              c.seqnos[order]))
