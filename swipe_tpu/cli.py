@@ -369,6 +369,14 @@ def main(argv=None) -> int:
 
     engine = SearchEngine(db, params, backend=a.backend)
 
+    # observability extension: SWIPE_TPU_TRACE=<dir> wraps the whole run in
+    # a JAX profiler trace (view with xprof/tensorboard)
+    import os as _os
+    trace_dir = _os.environ.get("SWIPE_TPU_TRACE")
+    if trace_dir:
+        import jax
+        jax.profiler.start_trace(trace_dir)
+
     show_begin(out, a.view)
 
     def batched_results():
@@ -433,6 +441,9 @@ def main(argv=None) -> int:
         totalhits_seen += hits.totalhits
         rep.show(hits, a.databasename, paralign=paralign)
     show_end(out, a.view)
+    if trace_dir:
+        import jax
+        jax.profiler.stop_trace()
     if a.outfile:
         out.close()
     return 0

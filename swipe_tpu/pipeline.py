@@ -352,23 +352,37 @@ class SearchEngine:
         if n63:
             timings.rounds[63] += nq
 
+    # packed chunks are kept resident on the device up to this budget;
+    # larger databases (e.g. NR-scale) stream per search instead — the
+    # reference equivalently re-reads its mmap per query (database.cc)
+    DEVICE_CACHE_BYTES = 8 << 30
+
     def _dev_stream_chunks(self, nseqs: int):
         """Device arrays per stream chunk, with the score-gather coordinates
         sorted by unit id so score columns ascend in unit order (the exact
-        tie-break the device-side top-K relies on)."""
+        tie-break the device-side top-K relies on).  Yields lazily; chunks
+        are cached on device only while the total stays under
+        DEVICE_CACHE_BYTES."""
         import jax.numpy as jnp
-        if nseqs not in self._dev_stream:
-            devs = []
-            for c in self._stream_chunks(nseqs):
-                order = np.argsort(c.seqnos, kind="stable")
-                # upload lane-major and transpose on device (the host-side
-                # transpose of a multi-hundred-MB chunk is the slow part)
-                devs.append((jnp.asarray(c.data_t).T, jnp.asarray(c.start),
-                             jnp.asarray(c.end_block[order]),
-                             jnp.asarray(c.lane[order]),
-                             c.seqnos[order]))
-            self._dev_stream[nseqs] = devs
-        return self._dev_stream[nseqs]
+
+        def prep(c):
+            order = np.argsort(c.seqnos, kind="stable")
+            # upload lane-major and transpose on device (the host-side
+            # transpose of a multi-hundred-MB chunk is the slow part)
+            return (jnp.asarray(c.data_t).T, jnp.asarray(c.start),
+                    jnp.asarray(c.end_block[order]),
+                    jnp.asarray(c.lane[order]),
+                    c.seqnos[order])
+
+        chunks = self._stream_chunks(nseqs)
+        total = sum(c.data_t.size for c in chunks)
+        if total <= self.DEVICE_CACHE_BYTES:
+            if nseqs not in self._dev_stream:
+                self._dev_stream[nseqs] = [prep(c) for c in chunks]
+            yield from self._dev_stream[nseqs]
+        else:
+            for c in chunks:
+                yield prep(c)
 
     # slots scored per kernel pass: bounds the [nslots, nblocks, nseqs]
     # per-block dump (1k-query batches would otherwise exhaust HBM)

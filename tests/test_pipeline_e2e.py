@@ -317,3 +317,16 @@ def test_sound_mode_e2e():
     rep = Reporter(buf, 0, 5, eng.matrix.matrix, query=q)
     rep.show(hits, "sounddb")
     assert "Score" in buf.getvalue()
+
+
+def test_stream_uncached_device_path(protein_setup, monkeypatch):
+    # databases over the device-cache budget stream per search; results
+    # must be identical to the cached path
+    from swipe_tpu.pipeline import SearchEngine as SE
+    db, query, recs, q = protein_setup
+    params = SearchParams(symtype=1, descriptions=40, alignments=0)
+    cached = SE(db, params, backend="stream_interpret").search(query)
+    monkeypatch.setattr(SE, "DEVICE_CACHE_BYTES", 1)
+    streamed = SE(db, params, backend="stream_interpret").search(query)
+    assert [(h.seqno, h.score) for h in cached.hits] == \
+           [(h.seqno, h.score) for h in streamed.hits]
