@@ -115,6 +115,78 @@ def dbs(tmp_path_factory):
     return d
 
 
+def test_golden_masked_subset(ref_swipe, tmp_path):
+    """Masked-subset db (.msk OID bitmap + MEMB_BIT): both programs agree."""
+    import struct
+
+    from swipe_tpu.io.asn1 import Defline
+    rng = np.random.default_rng(55)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    qp = "".join(rng.choice(AAl, 50))
+    n = 16
+    seqs, dls = [], []
+    for i in range(n):
+        s = "".join(rng.choice(AAl, int(rng.integers(30, 90))))
+        if i == 6:
+            s = qp[2:45]
+        if i == 7:
+            s = qp[5:48]   # in base but NOT in the subset (odd oid)
+        seqs.append(encode(s, MAP_NCBI_AA))
+        dls.append([Defline(title=f"mk{i} masked golden {i}",
+                            memberships=1 if i % 2 == 0 else 0)])
+    write_blastdb(str(tmp_path / "base"), seqs, dls, "aa",
+                  title="masked base", date="Jan 1, 2026  12:00 AM")
+    bits = bytearray((n + 7) // 8)
+    nres = 0
+    for i in range(n):
+        if i % 2 == 0:
+            bits[i // 8] |= 1 << (7 - (i % 8))
+            nres += len(seqs[i])
+    (tmp_path / "sub.msk").write_bytes(
+        struct.pack(">I", n) + bytes(bits))
+    (tmp_path / "inner.pal").write_text(
+        "TITLE  masked inner\nDBLIST base\nOIDLIST sub.msk\n"
+        "LENGTH %d\nNSEQ %d\nMAXOID %d\nMEMB_BIT 1\n"
+        % (nres, n // 2, n - 1))
+    (tmp_path / "sub.pal").write_text(
+        "TITLE  masked subset golden\nDBLIST inner\nMEMB_BIT 1\n")
+    (tmp_path / "q.fa").write_text(f">q masked query\n{qp}\n")
+    args = ["-p", "blastp", "-m", "9",
+            "-d", str(tmp_path / "sub"), "-i", str(tmp_path / "q.fa")]
+    ref_out = _normalize(run_ref(ref_swipe, args))
+    our_out = _normalize(run_ours(args))
+    assert "mk6" in our_out and "mk7" not in our_out
+    assert our_out == ref_out
+
+
+def test_golden_taxid_filter(ref_swipe, tmp_path):
+    """-x taxid list: both programs include the same subset."""
+    rng = np.random.default_rng(66)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    qp = "".join(rng.choice(AAl, 40))
+    n = 10
+    seqs, descs, taxids = [], [], []
+    for i in range(n):
+        s = "".join(rng.choice(AAl, int(rng.integers(25, 70))))
+        if i in (2, 3):
+            s = qp[1:35]
+        seqs.append(encode(s, MAP_NCBI_AA))
+        descs.append(f"tx{i} taxid golden {i}")
+        taxids.append(100 + i)
+    write_blastdb(str(tmp_path / "txdb"), seqs,
+                  make_deflines(descs, taxids=taxids), "aa",
+                  title="taxid golden db", date="Jan 1, 2026  12:00 AM")
+    (tmp_path / "tx.txt").write_text("102\n105\n107\n")
+    (tmp_path / "q.fa").write_text(f">q taxid query\n{qp}\n")
+    args = ["-p", "blastp", "-m", "9", "-e", "1000",
+            "-d", str(tmp_path / "txdb"), "-i", str(tmp_path / "q.fa"),
+            "-x", str(tmp_path / "tx.txt")]
+    ref_out = _normalize(run_ref(ref_swipe, args))
+    our_out = _normalize(run_ours(args))
+    assert "tx2" in our_out and "tx3" not in our_out
+    assert our_out == ref_out
+
+
 def test_golden_multivolume(ref_swipe, dbs, tmp_path):
     """Both programs read the same two-volume alias db identically."""
     rng = np.random.default_rng(77)
