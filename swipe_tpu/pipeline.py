@@ -162,8 +162,15 @@ class SearchEngine:
         self.backend = self._resolve_backend(backend)
         self.matrix = self._build_matrix()
         stream = self.backend in ("stream", "stream_interpret")
-        if nseqs is None:
-            nseqs = self.STREAM_CONFIGS[0][0] if stream else 512
+        if stream:
+            valid = tuple(n for n, _ in self.STREAM_CONFIGS)
+            if nseqs is None:
+                nseqs = valid[0]
+            elif nseqs not in valid:
+                raise ValueError(
+                    f"stream backend lane counts are {valid}, got {nseqs}")
+        elif nseqs is None:
+            nseqs = 512
         if max_cols is None:
             max_cols = 65536 if stream else 16384
         self._pack(nseqs, max_cols)
