@@ -22,3 +22,23 @@ Architecture (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps bare import light; jax loads on first use)."""
+    if name in ("SearchEngine", "SearchParams", "SearchTimings"):
+        from . import pipeline
+        return getattr(pipeline, name)
+    if name in ("FastaDatabase",):
+        from .io.db import FastaDatabase
+        return FastaDatabase
+    if name in ("BlastDatabase",):
+        from .io.blastdb import BlastDatabase
+        return BlastDatabase
+    if name in ("read_queries", "preprocess_query"):
+        from .io import fasta
+        return getattr(fasta, name)
+    if name in ("ScoreMatrix",):
+        from .matrices import ScoreMatrix
+        return ScoreMatrix
+    raise AttributeError(name)
