@@ -100,10 +100,10 @@ def main():
     # warm-up: compile + first-dispatch effects for the WHOLE timed path
     one_pass(qcs[reps:2 * reps])
 
-    # two timed chains; report the better (the tunnel to the chip adds
+    # three timed chains; report the best (the tunnel to the chip adds
     # sporadic multi-ms stalls that are not kernel time)
     dt = float("inf")
-    for chain in (qcs[:reps], qcs[reps:2 * reps]):
+    for chain in (qcs[:reps], qcs[reps:2 * reps], qcs[:reps]):
         t0 = time.time()
         flat = one_pass(chain)
         dt = min(dt, max(time.time() - t0 - sync_lat, 1e-9) / reps)
