@@ -330,3 +330,23 @@ def test_stream_uncached_device_path(protein_setup, monkeypatch):
     streamed = SE(db, params, backend="stream_interpret").search(query)
     assert [(h.seqno, h.score) for h in cached.hits] == \
            [(h.seqno, h.score) for h in streamed.hits]
+
+
+def test_cli_error_paths(tmp_path, capsys):
+    # fatal() paths behave like the reference: message + exit(1)
+    import pytest as _pytest
+
+    from swipe_tpu.cli import main as cli_main
+    (tmp_path / "q.fa").write_text(">q\nMKV\n")
+    with _pytest.raises(SystemExit):
+        cli_main(["-i", str(tmp_path / "q.fa"),
+                  "-d", str(tmp_path / "nope"), "--backend", "lax"])
+    assert "Cannot open database" in capsys.readouterr().err
+    with _pytest.raises(SystemExit):
+        cli_main(["-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "q.fa"),
+                  "-m", "3", "--backend", "lax"])
+    assert "Illegal view type" in capsys.readouterr().err
+    with _pytest.raises(SystemExit):
+        cli_main(["-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "q.fa"),
+                  "-C", "T", "--backend", "lax"])
+    assert "Composition-based" in capsys.readouterr().err
