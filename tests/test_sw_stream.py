@@ -132,3 +132,52 @@ def test_stream_long_query_tiled(m62):
     want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
                      for q in queries])
     assert np.array_equal(got, want)
+
+
+def test_all_kernels_agree_randomized(m62):
+    """Property test: stream (interpret), stream-lax, segmented-lax and the
+    NumPy oracle agree on random shapes/penalties across several seeds."""
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_database
+    from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax
+    from swipe_tpu.ops.sw_stream import sw_scores_stream_lax
+
+    for seed in range(3):
+        rng = np.random.default_rng(1000 + seed)
+        go = int(rng.integers(5, 15))
+        ge = int(rng.integers(1, 4))
+        nq = int(rng.integers(1, 3))
+        queries = _rand_seqs(rng, nq, 5, 80)
+        seqs = _rand_seqs(rng, int(rng.integers(100, 400)), 1, 120)
+        want = np.stack([sw_numpy_many(q, seqs, m62.matrix, go, ge)
+                         for q in queries])
+        qlen_pad = 128
+        qc, ql = build_qcodes(queries, qlen_pad)
+        m8 = build_matrix8(m62.matrix)
+
+        # stream pallas (interpret) + stream lax on the lane packing
+        for ch in pack_stream(seqs, nseqs=1024):
+            a = sw_scores_stream(qc, ql, m8, ch.data, ch.start,
+                                 gapopenextend=go + ge, gapextend=ge,
+                                 interpret=True)
+            b = sw_scores_stream_lax(
+                jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(m8),
+                jnp.asarray(ch.data), jnp.asarray(ch.start),
+                gapopenextend=go + ge, gapextend=ge)
+            sa = np.asarray(gather_scores(a, ch.end_block, ch.lane))
+            sb = np.asarray(gather_scores(b, ch.end_block, ch.lane))
+            assert np.array_equal(sa, want[:, ch.seqnos]), (seed, "stream")
+            assert np.array_equal(sb, want[:, ch.seqnos]), (seed, "slax")
+
+        # segmented lax on the segment packing
+        for ch in pack_database(seqs, nseqs=16):
+            qpt = build_qpt(queries, m62.matrix, qlen_pad)
+            out = np.asarray(sw_scores_lax(
+                qpt, ch.data, ch.seg_ids, nsegs=ch.seqnos.shape[0],
+                gapopenextend=go + ge, gapextend=ge))
+            for k in range(ch.seqnos.shape[0]):
+                for lane in range(ch.nseqs):
+                    sn = ch.seqnos[k, lane]
+                    if sn >= 0:
+                        assert (out[:, k, lane] == want[:, sn]).all(), seed
