@@ -137,39 +137,40 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, out_ref,
         # row group (rows beyond qlen see the PAD profile and decay).  The
         # intra-group chains (F down rows, diagonal) stay in registers —
         # the same blocking SWIPE's ONESTEP macro does 2 rows at a time
-        # (search7.cc:623-645).
+        # (search7.cc:623-645).  E and F are stored pre-advanced into the
+        # next cell so the shared H-Q term is subtracted once, exactly as
+        # ONESTEP does (search7.cc:585-595).
         diag0, s = carry
         base = rb * RU
         qsyms = [qc_ref[qi, base + k] for k in range(RU)]
         hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
                     for k in range(RU)]
-        est_olds = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                    for k in range(RU)]
-        h_left = list(hst_olds)
-        e_left = list(est_olds)
+        # est holds E already advanced into this block's first column
+        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                for k in range(RU)]
         diag = [diag0] + hst_olds[: RU - 1]
+        hs = list(hst_olds)
         for j in range(KSEG):
             hprev = hrow_ref[j]
-            f = frow_ref[j]
+            fhat = frow_ref[j]       # F advanced into row ``base``, col j
             hs = []
             for k in range(RU):
                 p = dprof_ref[qsyms[k], j]                  # [SUB, NL]
-                f = jnp.maximum(f - R, (hprev if k == 0 else hs[-1]) - Q)
-                e = jnp.maximum(e_left[k] - R, h_left[k] - Q)
                 h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(e, f))
+                                jnp.maximum(ehat[k], fhat))
                 if clamp is not None:
                     h = jnp.minimum(h, clamp)
                 s = jnp.maximum(s, h)
+                hq = h - Q
+                ehat[k] = jnp.maximum(ehat[k] - R, hq)
+                fhat = jnp.maximum(fhat - R, hq)
                 hs.append(h)
-                e_left[k] = e
             hrow_ref[j] = hs[-1]
-            frow_ref[j] = f
+            frow_ref[j] = fhat
             diag = [hprev] + hs[: RU - 1]
-            h_left = hs
         for k in range(RU):
-            hst_ref[base + k] = h_left[k]
-            est_ref[base + k] = e_left[k]
+            hst_ref[base + k] = hs[k]
+            est_ref[base + k] = ehat[k]
         return hst_olds[RU - 1], s
 
     nrb = (qlen + RU - 1) // RU
