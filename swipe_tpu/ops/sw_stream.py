@@ -384,40 +384,52 @@ def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,
 
     rows = jnp.clip(ql_ref[qi] - tile * tile_rows, 0, tile_rows)
 
-    def row_body(r, carry):
+    def row_body(rb, carry):
+        # same RU-unrolled, pre-advanced-E/F recurrence as _stream_kernel;
+        # a partial final group only happens when the query ends in this
+        # tile (PAD rows decay and cannot raise S or matter downstream)
         diag0, s = carry
-        qsym = qc_ref[qi, tile * tile_rows + r]
-        hst_old = jnp.where(reset, 0, hst_ref[r])
-        est_old = jnp.where(reset, NEG_INF, est_ref[r])
-        h_left = hst_old
-        e_left = est_old
-        diag = diag0
+        base = rb * RU
+        qsyms = [qc_ref[qi, tile * tile_rows + base + k]
+                 for k in range(RU)]
+        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
+                    for k in range(RU)]
+        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                for k in range(RU)]
+        diag = [diag0] + hst_olds[: RU - 1]
+        hs = list(hst_olds)
         for j in range(KSEG):
-            p = dprof_ref[qsym, j]
             hprev = hrow_ref[j]
-            f = jnp.maximum(frow_ref[j] - R, hprev - Q)
-            e = jnp.maximum(e_left - R, h_left - Q)
-            h = jnp.maximum(jnp.maximum(diag + p, 0), jnp.maximum(e, f))
-            if clamp is not None:
-                h = jnp.minimum(h, clamp)
-            s = jnp.maximum(s, h)
-            hrow_ref[j] = h
-            frow_ref[j] = f
-            diag = hprev
-            h_left = h
-            e_left = e
-        hst_ref[r] = h_left
-        est_ref[r] = e_left
-        return hst_old, s
+            fhat = frow_ref[j]
+            hs = []
+            for k in range(RU):
+                p = dprof_ref[qsyms[k], j]
+                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
+                                jnp.maximum(ehat[k], fhat))
+                if clamp is not None:
+                    h = jnp.minimum(h, clamp)
+                s = jnp.maximum(s, h)
+                hq = h - Q
+                ehat[k] = jnp.maximum(ehat[k] - R, hq)
+                fhat = jnp.maximum(fhat - R, hq)
+                hs.append(h)
+            hrow_ref[j] = hs[-1]
+            frow_ref[j] = fhat
+            diag = [hprev] + hs[: RU - 1]
+        for k in range(RU):
+            hst_ref[base + k] = hs[k]
+            est_ref[base + k] = ehat[k]
+        return hst_olds[RU - 1], s
 
     _, s = jax.lax.fori_loop(
-        0, rows, row_body,
+        0, (rows + RU - 1) // RU, row_body,
         (diag0_init, jnp.where(reset, 0, s_ref[...])))
     s_ref[...] = s
     # sp_ref is per-block (not running), so a refill block's previous-pass
     # dump already belongs to the newly started sequence — no reset here
     out_ref[0, 0] = jnp.maximum(sp_ref[0, 0], s)
-    # bottom-row boundary for the next tile (hrow/frow hold row rows-1)
+    # bottom-row boundary for the next tile: hrow holds the last processed
+    # row's H; frow is F already advanced into the next tile's top row
     for j in range(KSEG):
         bho_ref[0, 0, j] = hrow_ref[j]
         bfo_ref[0, 0, j] = frow_ref[j]
