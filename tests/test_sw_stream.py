@@ -181,3 +181,24 @@ def test_all_kernels_agree_randomized(m62):
                     sn = ch.seqnos[k, lane]
                     if sn >= 0:
                         assert (out[:, k, lane] == want[:, sn]).all(), seed
+
+
+def test_pack_stream_oversized_sequence(m62):
+    # one sequence longer than max_cols becomes its own oversized chunk
+    # and still scores exactly
+    rng = np.random.default_rng(13)
+    big = rng.integers(1, 26, size=3000, dtype=np.int8)
+    seqs = [big] + _rand_seqs(rng, 200, 5, 60)
+    chunks = pack_stream(seqs, nseqs=1024, max_cols=512)
+    assert any(c.n_cols > 512 for c in chunks)
+    qc, ql = build_qcodes([seqs[5]], 64)
+    m8 = build_matrix8(m62.matrix)
+    got = np.zeros(len(seqs), dtype=np.int64)
+    for ch in chunks:
+        out = sw_scores_stream(qc, ql, m8, ch.data, ch.start,
+                               gapopenextend=12, gapextend=1,
+                               interpret=True)
+        got[ch.seqnos] = np.asarray(
+            gather_scores(out, ch.end_block, ch.lane))[0]
+    want = sw_numpy_many(seqs[5], seqs, m62.matrix, 11, 1)
+    assert np.array_equal(got, want)
