@@ -246,12 +246,20 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
         members = [[] for _ in range(nseqs)]
 
     max_blocks = max(max_cols // block, 1)
+    # a sequence longer than max_cols stretches the whole chunk: raise the
+    # cap so OTHER lanes keep filling to the same height (otherwise every
+    # other lane would be padding).  The chunk's footprint is still
+    # nseqs x longest-member, so truly chromosome-scale database sequences
+    # need a smaller nseqs or the segment backend.
+    chunk_cap = max_blocks
     for si in order:
         nb = max(-(-int(lens[si]) // block), 1)
         used, ln = heap[0]
-        if used and used + nb > max_blocks:
+        if used and used + nb > chunk_cap:
             flush()
+            chunk_cap = max_blocks
             used, ln = heap[0]
+        chunk_cap = max(chunk_cap, nb)
         heapq.heappushpop(heap, (used + nb, ln))
         members[ln].append(int(si))
     flush()

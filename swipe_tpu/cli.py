@@ -159,6 +159,17 @@ def parse_args(argv: list[str]) -> Args:
         elif arg.startswith("-") and len(arg) >= 2:
             opt = arg[1]
             val = arg[2:] or None
+            # getopt semantics: no-argument flags may be combined (-IH);
+            # the first option letter that takes an argument consumes the
+            # rest of the token
+            while opt in ("I", "H", "h") and val:
+                if opt == "I":
+                    a.show_gis = 1
+                elif opt == "H":
+                    a.show_taxid = 1
+                else:
+                    usage_exit()
+                opt, val = val[0], val[1:] or None
             if opt not in ("I", "H", "h") and val is None:
                 val = next_val(arg)
         else:
@@ -291,7 +302,9 @@ def args_show(out, a: Args, db, query, engine) -> None:
     w("Query file name:   %s\n" % a.queryname)
     w("Query length:      %d residues\n" % query.length)
     desc = query.description
-    for i in range(0, max(len(desc), 1), 60):
+    # an empty description prints nothing (query_show's loop body never
+    # runs for strlen 0, query.cc)
+    for i in range(0, len(desc), 60):
         if i == 0:
             w("Query description: %-60.60s\n" % desc[i:i + 60])
         else:

@@ -92,7 +92,6 @@ class Database:
 
     def search_units(self, symtype: int) -> Iterator[SearchUnit]:
         """All (seqno, dstrand, dframe) scoring tasks for the search phase."""
-        nt_db = symtype in (0, 3, 4)
         translated = symtype in (3, 4)
         for seqno in range(self.seqcount()):
             if not self.check_inclusion(seqno):
@@ -168,14 +167,3 @@ class FastaDatabase(Database):
     def get_header(self, seqno: int) -> str:
         return self._headers[seqno]
 
-    def search_units(self, symtype: int) -> Iterator[SearchUnit]:
-        translated = symtype in (3, 4)
-        for seqno in range(len(self._seqs)):
-            if translated:
-                for dstrand in range(2):
-                    for dframe in range(3):
-                        codes, _ = self.get_sequence(
-                            seqno, symtype, dstrand, dframe)
-                        yield SearchUnit(seqno, dstrand, dframe, codes)
-            else:
-                yield SearchUnit(seqno, 0, 0, self._seqs[seqno])

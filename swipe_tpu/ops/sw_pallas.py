@@ -52,23 +52,28 @@ SEG_BLK = 32          # db columns per grid block; segment length granularity
 
 
 def build_qpt(queries: list[np.ndarray], matrix: np.ndarray,
-              qlen_pad: int) -> np.ndarray:
-    """Transposed query profiles [NQ, qlen_pad, 32] int8.
+              qlen_pad: int, dtype=np.int8) -> np.ndarray:
+    """Transposed query profiles [NQ, qlen_pad, 32].
 
     QPT[n, q, s] = matrix[query_n[q], s]; rows beyond a query's length and
-    the PAD_SYMBOL column are -128 so padded cells decay instead of scoring.
+    the PAD_SYMBOL column are strongly negative so padded cells decay
+    instead of scoring.  dtype=int8 (default) feeds the Pallas kernels;
+    pass np.int32 for matrices outside int8 range (lax fallback only).
     """
-    m8 = np.asarray(matrix, dtype=np.int64)
-    if m8.min() < -128 or m8.max() > 127:
-        raise ValueError("score matrix must fit int8 for the TPU kernel")
+    m = np.asarray(matrix, dtype=np.int64)
+    info = np.iinfo(dtype)
+    if m.min() < info.min or m.max() > info.max:
+        raise ValueError(
+            f"score matrix must fit {np.dtype(dtype).name} for this kernel")
+    pad = max(int(info.min), -(1 << 20))
     nq = len(queries)
-    qpt = np.full((nq, qlen_pad, 32), -128, dtype=np.int8)
+    qpt = np.full((nq, qlen_pad, 32), pad, dtype=dtype)
     for n, q in enumerate(queries):
         L = len(q)
         if L > qlen_pad:
             raise ValueError(f"query {n} longer than qlen_pad ({L} > {qlen_pad})")
-        qpt[n, :L, :] = m8[np.asarray(q, dtype=np.int64), :].astype(np.int8)
-        qpt[n, :, PAD_SYMBOL] = -128
+        qpt[n, :L, :] = m[np.asarray(q, dtype=np.int64), :].astype(dtype)
+        qpt[n, :, PAD_SYMBOL] = pad
     return qpt
 
 

@@ -210,6 +210,10 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
         raise ValueError(f"db length {L} not a multiple of {KSEG}")
     if nseqs % (SUB * 128):
         raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
+    if qlen_pad % RU:
+        # the RU-unrolled row loop indexes qc/hst/est up to the next
+        # multiple of RU
+        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of RU={RU}")
     nl = nseqs // SUB
     nblocks = L // KSEG
     # lane fold: packed lane i -> (sublane i // nl, lane i % nl); then merge
@@ -525,6 +529,8 @@ def sw_scores_stream_long(qcodes, qlens, matrix8, db, start, *,
     if qlen_pad % tile_rows:
         raise ValueError(f"qlen_pad {qlen_pad} not a multiple of "
                          f"tile_rows {tile_rows}")
+    if tile_rows % RU:
+        raise ValueError(f"tile_rows {tile_rows} not a multiple of RU={RU}")
     nl = nseqs // SUB
     nblocks = L // KSEG
     db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)

@@ -317,9 +317,12 @@ class SearchEngine:
                     self._search_stream(group, qlen_pad, nseqs, timings,
                                         interpret=interp, long=long)
             else:
-                # non-int8 matrices or explicit segment backends
-                fb = "lax" if backend in ("stream", "stream_interpret") \
-                    else backend
+                # non-int8 matrices or explicit segment backends; only the
+                # lax path scores matrices outside int8 range
+                fb = backend
+                if backend in ("stream", "stream_interpret") \
+                        or not self.matrix.fits_int8:
+                    fb = "lax"
                 self._search_segments(slots, max(len(s[3]) for s in slots),
                                       timings, self._scores_fn(fb),
                                       self._segment_chunks())
@@ -481,8 +484,10 @@ class SearchEngine:
 
         p = self.params
         qlen_pad = max(64, -(-max_qlen // 64) * 64)
+        dtype = np.int8 if self.matrix.fits_int8 else np.int32
         qpt = jnp.asarray(build_qpt([s[3] for s in slots],
-                                    self.matrix.matrix, qlen_pad))
+                                    self.matrix.matrix, qlen_pad,
+                                    dtype=dtype))
         for chunk in chunks:
             out = np.asarray(scores_fn(
                 qpt, jnp.asarray(chunk.data), jnp.asarray(chunk.seg_ids),

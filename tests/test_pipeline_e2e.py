@@ -350,3 +350,51 @@ def test_cli_error_paths(tmp_path, capsys):
         cli_main(["-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "q.fa"),
                   "-C", "T", "--backend", "lax"])
     assert "Composition-based" in capsys.readouterr().err
+
+
+def test_non_int8_matrix_searches(tmp_path):
+    # blastn reward/penalty outside int8 must fall back to the int32-wide
+    # lax path instead of crashing (matrix.fits_int8 False)
+    rng = np.random.default_rng(51)
+    fasta = "".join(">n%d x\n%s\n" % (i, "".join(rng.choice(list(NT), 60)))
+                    for i in range(20))
+    db = FastaDatabase(io.StringIO(fasta), "nt", title="widematrix")
+    # plant a self-hit
+    q = preprocess_query("qw", "".join(rng.choice(list(NT), 40)), 0, 3)
+    params = SearchParams(symtype=0, matchscore=200, mismatchscore=-300,
+                          gapopen=400, gapextend=200, alignments=0)
+    eng = SearchEngine(db, params, backend="stream_interpret")
+    assert not eng.matrix.fits_int8
+    hits = eng.search(q)  # must not raise
+    # cross-check against the oracle with the wide matrix
+    seqs = [np.asarray(db.get_sequence(i, 0)[0]) for i in range(20)]
+    want_p = sw_numpy_many(q.nt[0], seqs, eng.matrix.matrix, 400, 200)
+    want_m = sw_numpy_many(q.nt[1], seqs, eng.matrix.matrix, 400, 200)
+    for h in hits.hits:
+        want = want_m if h.dstrand else want_p
+        assert h.score == want[h.seqno]
+
+
+def test_cli_combined_short_flags(tmp_path, capsys):
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import parse_args
+    a = parse_args(["-IH", "-d", "x"])
+    assert a.show_gis == 1 and a.show_taxid == 1
+    a = parse_args(["-I", "-d", "x"])
+    assert a.show_gis == 1 and a.show_taxid == 0
+
+
+def test_empty_query_description_no_line(tmp_path):
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main as cli_main
+    rng = np.random.default_rng(52)
+    fasta, recs = _mkfasta(rng, 10, 30, 60, AA)
+    (tmp_path / "db.fa").write_text(fasta)
+    (tmp_path / "q.fa").write_text(">\n" + recs[0][1] + "\n")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main(["-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "db.fa"),
+                  "-m", "0", "--backend", "lax"])
+    assert "Query description:" not in buf.getvalue()
