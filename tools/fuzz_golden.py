@@ -98,7 +98,10 @@ def one_case(ref_bin, d, rng, case):
     with open(qf, "w") as f:
         for qi in range(nq):
             q = "".join(rng.choice(qalpha, int(rng.integers(8, 150))))
-            f.write(f">fq{case}_{qi} fuzz query {case}.{qi}\n{q}\n")
+            desc = f">fq{case}_{qi} fuzz query {case}.{qi}"
+            if rng.random() < 0.08:
+                desc = ">"        # empty description (query_show parity)
+            f.write(f"{desc}\n{q}\n")
 
     args = ["-p", mode, "-d", dbp, "-i", qf,
             "-m", str(rng.choice([0, 7, 8, 9, 99]))]
