@@ -398,3 +398,17 @@ def test_empty_query_description_no_line(tmp_path):
         cli_main(["-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "db.fa"),
                   "-m", "0", "--backend", "lax"])
     assert "Query description:" not in buf.getvalue()
+
+
+def test_cli_outfile(tmp_path):
+    from swipe_tpu.cli import main as cli_main
+    rng = np.random.default_rng(61)
+    fasta, recs = _mkfasta(rng, 15, 30, 60, AA)
+    (tmp_path / "db.fa").write_text(fasta)
+    (tmp_path / "q.fa").write_text(">q t\n" + recs[2][1] + "\n")
+    outf = tmp_path / "res.tsv"
+    rc = cli_main(["-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "db.fa"),
+                   "-m", "9", "-o", str(outf), "--backend", "lax"])
+    assert rc == 0
+    text = outf.read_text()
+    assert "seq2" in text and text.startswith("# SWIPE")
