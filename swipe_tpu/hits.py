@@ -74,6 +74,7 @@ class HitList:
         self.evmodel = evmodel
         self.db = db
         self.symtype = symtype
+        self.querystrands = querystrands
 
         keephits = max(descriptions, alignments)
         maxhits = db.seqcount_masked() * mode_multiplier(symtype, querystrands)
@@ -194,8 +195,15 @@ class HitList:
             else:
                 qseq = query.aa[3 * h.qstrand + h.qframe]
 
+            # blastn minus-strand-only quirk: the reference's align-phase
+            # strand bins cover only qstrand=1 when -S 2
+            # (swipe.cc:279 qstrand1 = querystrands==2 ? 1 : 0), but blastn
+            # hits are recorded as plus-query/minus-db (swipe.cc:1468-1471),
+            # so they never receive a hint and region()'s row-major tie
+            # rule picks the alignment endpoint instead
+            hintable = not (self.symtype == 0 and self.querystrands == 2)
             hint = None
-            if h.score < scorelimit_16:
+            if hintable and h.score < scorelimit_16:
                 score, bestq, bestpos = hint_endpoint(
                     qseq, dseq, matrix, gapopen, gapextend)
                 if bestq > 0 and bestpos:
