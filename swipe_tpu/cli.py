@@ -449,7 +449,11 @@ def main(argv=None) -> int:
                 threads=a.threads, queryno=queryno,
                 starttime=timings.starttime, endtime=timings.endtime,
                 elapsed=timings.elapsed, speed=timings.speed,
-                sw_count=timings.compute[7],
+                # per-query SW count even under --batch (the shared
+                # timings' compute[7] is batch-wide): every unit is scored
+                # once per (strand, frame) of this query
+                sw_count=engine.unit_count
+                * len(engine.query_frames(query)),
                 totalhits_offset=totalhits_seen)
         totalhits_seen += hits.totalhits
         rep.show(hits, a.databasename, paralign=paralign)

@@ -179,10 +179,8 @@ class HitList:
                 # not aligned, but displays may still need the sequence
                 # length (-m 7 <len>); the reference prints stale memory
                 # here — we report the true length (see report.show_xml)
-                dseq, ntlen = self.db.get_sequence(
+                h.dlen, h.dlennt = self.db.get_length(
                     h.seqno, self.symtype, h.dstrand, h.dframe)
-                h.dlen = len(dseq)
-                h.dlennt = ntlen
                 continue
             dseq, ntlen = self.db.get_sequence(
                 h.seqno, self.symtype, h.dstrand, h.dframe)

@@ -317,6 +317,23 @@ class BlastDatabase(Database):
             return NT_COMPL[nt.astype(np.int64)][::-1].astype(np.int8), ntlen
         return nt, ntlen
 
+    def get_length(self, seqno: int, symtype: int, dstrand: int = 0,
+                   dframe: int = 0) -> tuple[int, int]:
+        """Lengths straight from the volume offset tables (no decompress)."""
+        v, s = self._locate(seqno)
+        off1 = int(v.seq_off[s])
+        off2 = int(v.seq_off[s + 1])
+        if self.dbtype == "aa":
+            n = off2 - off1 - 1
+            return n, n
+        aoff = int(v.amb_off[s]) - off1
+        last = int(np.frombuffer(v.seq_map, dtype=np.uint8, count=1,
+                                 offset=off1 + aoff - 1)[0])
+        ntlen = 4 * (aoff - 1) + (last & 3)
+        if symtype in (3, 4):
+            return (ntlen - dframe) // 3, ntlen
+        return ntlen, ntlen
+
     # ---- headers ---------------------------------------------------------------
 
     def _raw_header(self, seqno: int) -> bytes:

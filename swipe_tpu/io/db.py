@@ -90,6 +90,13 @@ class Database:
         """All display deflines (BLAST dbs can have several per sequence)."""
         return [self.get_header(seqno)]
 
+    def get_length(self, seqno: int, symtype: int, dstrand: int = 0,
+                   dframe: int = 0) -> tuple[int, int]:
+        """(sequence length, nt length) without materializing the codes
+        when the backing store can answer cheaply."""
+        codes, ntlen = self.get_sequence(seqno, symtype, dstrand, dframe)
+        return len(codes), ntlen
+
     def search_units(self, symtype: int) -> Iterator[SearchUnit]:
         """All (seqno, dstrand, dframe) scoring tasks for the search phase."""
         translated = symtype in (3, 4)

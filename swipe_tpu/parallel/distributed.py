@@ -74,20 +74,12 @@ def _topk_records(scores: jax.Array, base_unit: jax.Array, k: int
     return top, units[idx] + top * 0
 
 
-def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
-                        gapopenextend: int, gapextend: int, k: int,
-                        backend: str = "pallas"):
-    """Score a packed chunk sharded over the mesh and return merged top-k.
-
-    qpt:      [NQ, QLEN, 32] int8 — replicated over "db", sharded over "q"
-    db:       [L, NSEQS] int8 — lanes sharded over "db"
-    seg_ids:  [nblocks+1] int32 — replicated
-    unit_ids: [nsegs, NSEQS] int32 global unit numbers — sharded like db
-    Returns (scores [NQ, n_db*k], units [NQ, n_db*k]) gathered on all
-    devices, plus the psum'ed cell counter.
-    """
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_fn(mesh: Mesh, nsegs: int, gapopenextend: int,
+                     gapextend: int, k: int, backend: str):
+    """Jitted shard_map step for sharded_topk_scores, cached per config
+    (a per-call jit would re-trace and re-compile every invocation)."""
     score_fn = (sw_scores_segmented if backend == "pallas" else sw_scores_lax)
-    n_db = mesh.shape["db"]
 
     def per_device(qpt, db, seg_ids, unit_ids):
         scores = score_fn(qpt, db, seg_ids, nsegs=nsegs,
@@ -100,18 +92,31 @@ def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
         cells = jax.lax.psum(cells, "db")
         return top_all, units_all, cells
 
-    spec_db = P(None, "db")       # [L, NSEQS] lanes over db axis
-    spec_units = P(None, "db")
-    spec_qpt = P("q", None, None)
     # check_vma=False: all_gather over "db" makes the outputs equal on
     # every db device, but this jax version's varying-axes inference does
     # not register that replication
-    f = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
-        in_specs=(spec_qpt, spec_db, P(None), spec_units),
+        in_specs=(P("q", None, None), P(None, "db"), P(None),
+                  P(None, "db")),
         out_specs=(P("q", None), P("q", None), P()),
         check_vma=False,
     ))
+
+
+def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
+                        gapopenextend: int, gapextend: int, k: int,
+                        backend: str = "pallas"):
+    """Score a packed chunk sharded over the mesh and return merged top-k.
+
+    qpt:      [NQ, QLEN, 32] int8 — replicated over "db", sharded over "q"
+    db:       [L, NSEQS] int8 — lanes sharded over "db"
+    seg_ids:  [nblocks+1] int32 — replicated
+    unit_ids: [nsegs, NSEQS] int32 global unit numbers — sharded like db
+    Returns (scores [NQ, n_db*k], units [NQ, n_db*k]) gathered on all
+    devices, plus the psum'ed cell counter.
+    """
+    f = _sharded_topk_fn(mesh, nsegs, gapopenextend, gapextend, k, backend)
     return f(qpt, db, seg_ids, unit_ids)
 
 

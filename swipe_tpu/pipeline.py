@@ -162,6 +162,7 @@ class SearchEngine:
         self.backend = self._resolve_backend(backend)
         self.matrix = self._build_matrix()
         stream = self.backend in ("stream", "stream_interpret")
+        self._forced_nseqs = None
         if stream:
             valid = tuple(n for n, _ in self.STREAM_CONFIGS)
             if nseqs is None:
@@ -169,6 +170,8 @@ class SearchEngine:
             elif nseqs not in valid:
                 raise ValueError(
                     f"stream backend lane counts are {valid}, got {nseqs}")
+            else:
+                self._forced_nseqs = nseqs
         elif nseqs is None:
             nseqs = 512
         if max_cols is None:
@@ -183,7 +186,6 @@ class SearchEngine:
     # caps leave ~3MB of the 16MB VMEM for the pallas pipeline's
     # double-buffered input/output blocks (measured OOM at (2048, 512))
     STREAM_CONFIGS = ((2048, 384), (1024, 1024))
-    STREAM_MAX_QLEN = STREAM_CONFIGS[-1][1]
 
     @staticmethod
     def _resolve_backend(backend: str) -> str:
@@ -218,6 +220,11 @@ class SearchEngine:
                 self._unit_seqs, nseqs=nseqs, max_cols=max_cols,
                 seqnos=unit_ids)
             self._seg_chunks = self.chunks
+
+    @property
+    def unit_count(self) -> int:
+        """Number of (seqno, strand, frame) scoring units in the database."""
+        return len(self.unit_meta)
 
     def _stream_chunks(self, nseqs: int):
         """Lane-packed chunks for the stream kernel at a lane count."""
@@ -300,10 +307,15 @@ class SearchEngine:
                 # per-slot so scoring order doesn't matter
                 slots_sorted = sorted(slots, key=lambda s: len(s[3]))
                 groups: list[tuple] = []
+                caps = dict(self.STREAM_CONFIGS)
                 for s in slots_sorted:
                     qlen_pad = max(128, -(-len(s[3]) // 128) * 128)
-                    nseqs = next((n for n, cap in self.STREAM_CONFIGS
-                                  if qlen_pad <= cap), None)
+                    if self._forced_nseqs is not None \
+                            and qlen_pad <= caps[self._forced_nseqs]:
+                        nseqs = self._forced_nseqs
+                    else:
+                        nseqs = next((n for n, cap in self.STREAM_CONFIGS
+                                      if qlen_pad <= cap), None)
                     if nseqs is None:
                         qlen_pad = -(-len(s[3]) // 512) * 512
                         cfg = (qlen_pad, 1024, True)
@@ -376,7 +388,13 @@ class SearchEngine:
         import jax.numpy as jnp
 
         def prep(c):
-            order = np.argsort(c.seqnos, kind="stable")
+            # score columns must ascend in the REVERSE of the hit list's
+            # tie preference (score desc, seqno desc, dstrand asc, dframe
+            # asc — hits.finalize) because the reversed lax.top_k in
+            # _chunk_reduce prefers the highest column on ties: sort by
+            # (seqno asc, dstrand desc, dframe desc)
+            meta = self.unit_meta[c.seqnos]
+            order = np.lexsort((-meta[:, 2], -meta[:, 1], meta[:, 0]))
             # upload lane-major and transpose on device (the host-side
             # transpose of a multi-hundred-MB chunk is the slow part)
             return (jnp.asarray(c.data_t).T, jnp.asarray(c.start),
@@ -395,8 +413,14 @@ class SearchEngine:
                 yield prep(c)
 
     # slots scored per kernel pass: bounds the [nslots, nblocks, nseqs]
-    # per-block dump (1k-query batches would otherwise exhaust HBM)
+    # per-block dump (1k-query batches would otherwise exhaust HBM).  The
+    # long-query path additionally carries 4 HBM boundary planes of
+    # nslots x nblocks x KSEG x SUB x NL x 4B, so its group is smaller.
     SLOT_BATCH = 16
+    SLOT_BATCH_LONG = 4
+    # chunks in flight before syncing the oldest (async dispatch with no
+    # backpressure would keep every upload + dump buffer live at once)
+    CHUNK_WINDOW = 4
 
     def _search_stream(self, slots, qlen_pad, nseqs, timings,
                        interpret=False, long=False):
@@ -405,8 +429,9 @@ class SearchEngine:
         processed SLOT_BATCH at a time.  ``long`` switches to the
         query-tiled variant (boundary planes in HBM) for queries beyond
         one VMEM tile."""
-        for i in range(0, len(slots), self.SLOT_BATCH):
-            self._search_stream_group(slots[i:i + self.SLOT_BATCH],
+        step = self.SLOT_BATCH_LONG if long else self.SLOT_BATCH
+        for i in range(0, len(slots), step):
+            self._search_stream_group(slots[i:i + step],
                                       qlen_pad, nseqs, timings,
                                       interpret=interpret, long=long)
 
@@ -430,8 +455,14 @@ class SearchEngine:
             [max(min(s[0].init_threshold, 2**31 - 1), -2**31) for s in slots],
             jnp.int32)
         kbase = max(s[0].keephits for s in slots) + 64
-        # issue every chunk before the first sync: dispatch is async, so
-        # device work overlaps the host-side hit entry below
+        def drain(item):
+            units, payload, reduced = item
+            self._enter_chunk(slots, units, payload, reduced, timings)
+
+        # keep a few chunks in flight: dispatch is async so device work
+        # overlaps the host-side hit entry, but unbounded issue would keep
+        # every upload + per-block dump buffer live at once (fatal for
+        # databases in streaming mode)
         pending = []
         for data, start, end_block, lane, units in \
                 self._dev_stream_chunks(nseqs):
@@ -452,30 +483,35 @@ class SearchEngine:
                     sl16=self.matrix.scorelimit_16), True))
             else:
                 pending.append((units, sc, False))
-        for units, payload, reduced in pending:
-            if reduced:
-                vals, idx, totalh, n16, n63 = map(np.asarray, payload)
-                for fi, (hits, qstrand, qframe, _) in enumerate(slots):
-                    meta = self.unit_meta[units[idx[fi]]]
-                    hits.enter_batch(meta[:, 0], vals[fi], qstrand, qframe,
-                                     meta[:, 1], meta[:, 2],
-                                     counts=(int(totalh[fi]), 0))
-                if timings is not None:
-                    timings.compute[7] += units.shape[0] * len(slots)
-                    timings.compute[16] += int(n16)
-                    timings.compute[63] += int(n63)
-                    timings.rounds[7] += len(slots)
-                    if int(n16):
-                        timings.rounds[16] += len(slots)
-                    if int(n63):
-                        timings.rounds[63] += len(slots)
-            else:
-                sc = np.asarray(payload)             # [NSLOTS, n_chunk_units]
-                meta = self.unit_meta[units]
-                for fi, (hits, qstrand, qframe, _) in enumerate(slots):
-                    hits.enter_batch(meta[:, 0], sc[fi], qstrand, qframe,
-                                     meta[:, 1], meta[:, 2])
-                self._count_tiers(timings, sc, len(slots))
+            if len(pending) >= self.CHUNK_WINDOW:
+                drain(pending.pop(0))
+        for item in pending:
+            drain(item)
+
+    def _enter_chunk(self, slots, units, payload, reduced, timings):
+        if reduced:
+            vals, idx, totalh, n16, n63 = map(np.asarray, payload)
+            for fi, (hits, qstrand, qframe, _) in enumerate(slots):
+                meta = self.unit_meta[units[idx[fi]]]
+                hits.enter_batch(meta[:, 0], vals[fi], qstrand, qframe,
+                                 meta[:, 1], meta[:, 2],
+                                 counts=(int(totalh[fi]), 0))
+            if timings is not None:
+                timings.compute[7] += units.shape[0] * len(slots)
+                timings.compute[16] += int(n16)
+                timings.compute[63] += int(n63)
+                timings.rounds[7] += len(slots)
+                if int(n16):
+                    timings.rounds[16] += len(slots)
+                if int(n63):
+                    timings.rounds[63] += len(slots)
+        else:
+            sc = np.asarray(payload)             # [NSLOTS, n_chunk_units]
+            meta = self.unit_meta[units]
+            for fi, (hits, qstrand, qframe, _) in enumerate(slots):
+                hits.enter_batch(meta[:, 0], sc[fi], qstrand, qframe,
+                                 meta[:, 1], meta[:, 2])
+            self._count_tiers(timings, sc, len(slots))
 
     def _search_segments(self, slots, max_qlen, timings, scores_fn, chunks):
         """Score all (hitlist, strand, frame) slots with a segment-packed

@@ -126,7 +126,9 @@ def defline_split(defline: str) -> tuple[int, str, str]:
     """
     gi = 0
     p = defline
-    mm = re.match(r"gi\|(\d+)", p)
+    # sscanf("gi|%ld") skips whitespace after the literal and accepts a
+    # sign (hits.cc:1268)
+    mm = re.match(r"gi\|\s*([+-]?\d+)", p)
     if mm:
         gi = int(mm.group(1))
         p = p[mm.end():]

@@ -231,6 +231,8 @@ CASES = [
      "prot", "qp.fa"),
     ("blastp-b2v5", ["-p", "blastp", "-m", "0", "-b", "2", "-v", "5"],
      "prot", "qp.fa"),
+    ("blastn-strandminus", ["-p", "blastn", "-m", "0", "-S", "2",
+                            "-e", "100"], "nucl", "qn.fa"),
     ("blastn-strandplus", ["-p", "blastn", "-m", "8", "-S", "1"],
      "nucl", "qn.fa"),
     ("blastp-m99", ["-p", "blastp", "-m", "99"], "prot", "qp.fa"),

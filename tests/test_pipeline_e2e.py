@@ -412,3 +412,20 @@ def test_cli_outfile(tmp_path):
     assert rc == 0
     text = outf.read_text()
     assert "seq2" in text and text.startswith("# SWIPE")
+
+
+def test_device_topk_tie_membership_translated():
+    # massive equal-score ties across frames at the top-K boundary:
+    # device-side selection must keep exactly the entries the host path
+    # keeps (score desc, seqno desc, then frames ascending)
+    rng = np.random.default_rng(71)
+    s = "".join(rng.choice(list(NT), 90))
+    fasta = "".join(f">t{i} same {i}\n{s}\n" for i in range(300))
+    db = FastaDatabase(io.StringIO(fasta), "nt", title="ties")
+    q = preprocess_query("qt", "".join(rng.choice(list(AA), 30)), 3, 3)
+    params = SearchParams(symtype=3, gapopen=11, gapextend=1,
+                          descriptions=10, alignments=0, expect=1e9)
+    got = SearchEngine(db, params, backend="stream_interpret").search(q)
+    ref = SearchEngine(db, params, nseqs=8, backend="lax").search(q)
+    assert [(h.seqno, h.score, h.dstrand, h.dframe) for h in got.hits] == \
+           [(h.seqno, h.score, h.dstrand, h.dframe) for h in ref.hits]
