@@ -284,6 +284,36 @@ def test_cli_batch_output_identical(tmp_path):
     assert run([]) == run(["--batch", "5"])
 
 
+def test_cli_batch_m99_identical(tmp_path):
+    # -m 99 carries per-query counters (SWAbsolute, totalCount); --batch
+    # must render them identically to sequential runs
+    import re
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main as cli_main
+    rng = np.random.default_rng(22)
+    fasta, recs = _mkfasta(rng, 40, 40, 100, AA)
+    (tmp_path / "db.fa").write_text(fasta)
+    qs = "".join(">mq%d q %d\n%s\n" %
+                 (i, i, "".join(rng.choice(list(AA), 45)))
+                 for i in range(4))
+    (tmp_path / "q.fa").write_text(qs)
+    volatile = re.compile(
+        r"\s*<search(Started|Completed|ElapsedTime|Speed)>")
+
+    def run(extra):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rc = cli_main(["-i", str(tmp_path / "q.fa"),
+                           "-d", str(tmp_path / "db.fa"), "-m", "99",
+                           "--backend", "lax"] + extra)
+        assert rc == 0
+        return "\n".join(l for l in buf.getvalue().splitlines()
+                          if not volatile.match(l))
+
+    assert run([]) == run(["--batch", "4"])
+
+
 def test_batch_mixed_lengths_grouped(protein_setup):
     # short + very long queries in one batch: each routes to its own
     # stream configuration; results must match per-query lax searches
