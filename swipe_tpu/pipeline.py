@@ -226,13 +226,18 @@ class SearchEngine:
         """Number of (seqno, strand, frame) scoring units in the database."""
         return len(self.unit_meta)
 
-    def _stream_chunks(self, nseqs: int):
+    # the query-tiled (long) path carries 4 HBM boundary planes of
+    # 4 bytes per db column per lane per slot; smaller chunks bound them
+    LONG_MAX_COLS = 16384
+
+    def _stream_chunks(self, nseqs: int, max_cols: int | None = None):
         """Lane-packed chunks for the stream kernel at a lane count."""
-        if nseqs not in self._stream_packs:
-            self._stream_packs[nseqs] = pack_stream(
-                self._unit_seqs, nseqs=nseqs, max_cols=self._max_cols,
+        key = (nseqs, max_cols or self._max_cols)
+        if key not in self._stream_packs:
+            self._stream_packs[key] = pack_stream(
+                self._unit_seqs, nseqs=key[0], max_cols=key[1],
                 seqnos=np.arange(len(self._unit_seqs), dtype=np.int64))
-        return self._stream_packs[nseqs]
+        return self._stream_packs[key]
 
     def _segment_chunks(self) -> list[PackedChunk]:
         """Segment-packed chunks for the fallback path (built lazily)."""
@@ -379,7 +384,7 @@ class SearchEngine:
     # reference equivalently re-reads its mmap per query (database.cc)
     DEVICE_CACHE_BYTES = 8 << 30
 
-    def _dev_stream_chunks(self, nseqs: int):
+    def _dev_stream_chunks(self, nseqs: int, max_cols: int | None = None):
         """Device arrays per stream chunk, with the score-gather coordinates
         sorted by unit id so score columns ascend in unit order (the exact
         tie-break the device-side top-K relies on).  Yields lazily; chunks
@@ -402,12 +407,13 @@ class SearchEngine:
                     jnp.asarray(c.lane[order]),
                     c.seqnos[order])
 
-        chunks = self._stream_chunks(nseqs)
+        chunks = self._stream_chunks(nseqs, max_cols)
+        key = (nseqs, max_cols or self._max_cols)
         total = sum(c.data_t.size for c in chunks)
         if total <= self.DEVICE_CACHE_BYTES:
-            if nseqs not in self._dev_stream:
-                self._dev_stream[nseqs] = [prep(c) for c in chunks]
-            yield from self._dev_stream[nseqs]
+            if key not in self._dev_stream:
+                self._dev_stream[key] = [prep(c) for c in chunks]
+            yield from self._dev_stream[key]
         else:
             for c in chunks:
                 yield prep(c)
@@ -465,7 +471,8 @@ class SearchEngine:
         # databases in streaming mode)
         pending = []
         for data, start, end_block, lane, units in \
-                self._dev_stream_chunks(nseqs):
+                self._dev_stream_chunks(
+                    nseqs, self.LONG_MAX_COLS if long else None):
             if long:
                 out = sw_scores_stream_long(qc, ql, m8, data, start,
                                             gapopenextend=p.gapopenextend,
