@@ -176,9 +176,9 @@ def parse_args(argv: list[str]) -> Args:
             usage_exit()
 
         if opt == "h":
+            from .report import REFLINE
             sys.stdout.write(
-                "%s [%s]\n\n%s\n\n" % (PROGRAM, "swipe-tpu",
-                                       "Reference: T. Rognes (2011)"))
+                "%s [%s]\n\n%s\n\n" % (PROGRAM, "swipe-tpu", REFLINE))
             usage_exit()
         elif opt == "I":
             a.show_gis = 1
