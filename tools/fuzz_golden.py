@@ -82,10 +82,12 @@ def one_case(ref_bin, d, rng, case):
     protdb = mode in ("blastp", "blastx")
     alpha, cmap, dbt = (AA, MAP_NCBI_AA, "aa") if protdb else \
         (NT, MAP_NCBI_NT16, "nt")
-    nseq = int(rng.integers(3, 40))
+    big = rng.random() < 0.05
+    nseq = int(rng.integers(150, 500)) if big else int(rng.integers(3, 40))
+    maxlen = 1500 if big else 200
     seqs, descs = [], []
     for i in range(nseq):
-        s = "".join(rng.choice(alpha, int(rng.integers(3, 200))))
+        s = "".join(rng.choice(alpha, int(rng.integers(3, maxlen))))
         seqs.append(encode(s, cmap))
         descs.append(f"fz{i} fuzz sequence {i} with words")
     dbp = os.path.join(d, f"db{case}")
@@ -132,7 +134,9 @@ def one_case(ref_bin, d, rng, case):
     if r.returncode != 0:
         return None  # reference rejected the combination; skip
     ref_out = normalize(r.stdout.decode())
-    our_out = normalize(run_ours(args))
+    extra = ["--batch", str(int(rng.integers(2, 5)))] \
+        if rng.random() < 0.2 else []
+    our_out = normalize(run_ours(args + extra))
     if ref_out != our_out:
         la, lb = ref_out.splitlines(), our_out.splitlines()
         diffs = []
