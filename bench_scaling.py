@@ -60,7 +60,7 @@ def main():
         mesh = make_mesh(n_db=n_db, n_q=1, devices=devices[:n_db])
         ch = pack_stream(seqs, nseqs=nl_local * n_db, max_cols=262144)[0]
         eb, ln, un = shard_stream_chunk(ch, n_db=n_db)
-        d = jnp.asarray(ch.data)
+        d = jnp.asarray(ch.data_t).T
         st = jnp.asarray(ch.start)
         eb, ln, un = map(jnp.asarray, (eb, ln, un))
 

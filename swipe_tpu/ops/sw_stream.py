@@ -256,6 +256,11 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
         compiler_params=pltpu.CompilerParams(
+            # both axes are sequential: db blocks carry H/E state, and the
+            # query axis REUSES the same scratch buffers.  On a megacore
+            # part (v4/v5p, 2 TensorCores) the query axis could be marked
+            # "parallel" only if the scratch were made per-core — revisit
+            # when multi-core hardware is available to validate.
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
