@@ -45,3 +45,30 @@ def test_sharded_stream_topk_exact():
         # every reported (unit, score) pair is genuine
         for u, s in zip(top_u[qi], top_s[qi]):
             assert want[qi, u] == s
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("n_db,n_q", [(8, 1), (2, 4), (1, 8)])
+def test_sharded_stream_mesh_shapes(n_db, n_q):
+    rng = np.random.default_rng(n_db * 100 + n_q)
+    m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    queries = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+               for L in rng.integers(20, 50, size=n_q)]
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in rng.integers(5, 100, size=600)]
+    ch = pack_stream(seqs, nseqs=128 * n_db)[0]
+    eb, ln, un = shard_stream_chunk(ch, n_db=n_db)
+    mesh = make_mesh(n_db=n_db, n_q=n_q)
+    qc, ql = build_qcodes(queries, 64)
+    k = 16
+    scores, units, cells = sharded_stream_topk(
+        mesh, jnp.asarray(qc), jnp.asarray(ql),
+        jnp.asarray(build_matrix8(m.matrix)), jnp.asarray(ch.data),
+        jnp.asarray(ch.start), jnp.asarray(eb), jnp.asarray(ln),
+        jnp.asarray(un), gapopenextend=12, gapextend=1, k=k,
+        backend="lax")
+    top_s, top_u = merge_topk(np.asarray(scores), np.asarray(units), k)
+    want = np.stack([sw_numpy_many(q, seqs, m.matrix, 11, 1)
+                     for q in queries])
+    for qi in range(n_q):
+        assert np.array_equal(top_s[qi], np.sort(want[qi])[::-1][:k])
