@@ -1,0 +1,12 @@
+#!/bin/sh
+# One-command release check: tests, golden fuzz, driver hooks, bench.
+set -e
+cd "$(dirname "$0")/.."
+echo "== unit/golden/e2e suite =="
+python -m pytest tests/ -x -q
+echo "== golden fuzz (200 fresh cases) =="
+python tools/fuzz_golden.py 200 "$(date +%s)"
+echo "== driver hooks =="
+python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+echo "== benchmark =="
+python bench.py
