@@ -437,7 +437,8 @@ def main(argv=None) -> int:
                       (timings.speed / 1e9))
             out.write("\n")
         rep = Reporter(out, a.view, a.symtype, engine.matrix.matrix,
-                       query=query, show_gis=a.show_gis)
+                       query=query, show_gis=a.show_gis,
+                       show_taxid=a.show_taxid)
         paralign = None
         if a.view == 99:
             paralign = ParalignInfo(

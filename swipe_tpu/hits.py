@@ -54,6 +54,7 @@ class Hit:
     dframe: int
     header: str = ""
     deflines: list = None
+    defline_objs: list = None
     dseq: np.ndarray | None = None
     dlen: int = 0
     dlennt: int = 0
@@ -174,6 +175,7 @@ class HitList:
 
         for i, h in enumerate(self.hits):
             h.deflines = self.db.get_deflines(h.seqno)
+            h.defline_objs = self.db.get_defline_objects(h.seqno)
             h.header = h.deflines[0] if h.deflines else ""
             if i >= self.opt_alignments:
                 # not aligned, but displays may still need the sequence

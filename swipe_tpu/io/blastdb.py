@@ -353,6 +353,9 @@ class BlastDatabase(Database):
         return [render_defline(d, self.show_gis, self.show_taxid)
                 for d in self._deflines_filtered(seqno)]
 
+    def get_defline_objects(self, seqno: int) -> list:
+        return self._deflines_filtered(seqno)
+
     def get_header(self, seqno: int) -> str:
         dls = self.get_deflines(seqno)
         return dls[0] if dls else ""

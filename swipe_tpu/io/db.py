@@ -90,6 +90,13 @@ class Database:
         """All display deflines (BLAST dbs can have several per sequence)."""
         return [self.get_header(seqno)]
 
+    def get_defline_objects(self, seqno: int) -> list:
+        """Structured deflines, for views that re-render with their own
+        flags (the reference forces show_gis=1 for -m 8/9 and -m 99,
+        hits.cc:1751 and 1444/1512)."""
+        from .asn1 import Defline
+        return [Defline(title=self.get_header(seqno))]
+
     def get_length(self, seqno: int, symtype: int, dstrand: int = 0,
                    dframe: int = 0) -> tuple[int, int]:
         """(sequence length, nt length) without materializing the codes

@@ -118,13 +118,17 @@ def render_header(deflines: list[str], indent: int = 0, maxlen: int = 0,
     return "".join(out)
 
 
-def defline_split(defline: str) -> tuple[int, str, str]:
+def defline_split(defline: str) -> tuple[int | None, str, str]:
     """hits_defline_split (hits.cc:1256-1287): (gi, link, title).
 
     Parses an optional leading ``gi|<n>|`` and splits the next token (the
-    id chain) from the description.
+    id chain) from the description.  Returns gi=None when no gi field is
+    present — the reference's sscanf leaves the caller's variable
+    UNTOUCHED then, and the ParAlign longVersion loop deliberately
+    declares gi once per hit (hits.cc:1508), so a gi-less later defline
+    reuses the previous defline's gi.
     """
-    gi = 0
+    gi = None
     p = defline
     # sscanf("gi|%ld") skips whitespace after the literal and accepts a
     # sign (hits.cc:1268)
@@ -211,13 +215,24 @@ class Reporter:
     """Renders one query's results in the chosen view."""
 
     def __init__(self, out, view: int, symtype: int, matrix,
-                 query=None, show_gis: int = 0):
+                 query=None, show_gis: int = 0, show_taxid: int = 0):
         self.out = out
         self.view = view
         self.symtype = symtype
         self.matrix = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
         self.query = query
         self.show_gis = show_gis
+        self.show_taxid = show_taxid
+
+    def _deflines_gis(self, h: Hit) -> list[str]:
+        """Deflines re-rendered with gi numbers forced on: the reference
+        passes show_gis=1 (not the -I flag) to the header parser for the
+        TSV and ParAlign views (hits.cc:1751, 1444, 1512)."""
+        from .io.asn1 import render_defline
+        if h.defline_objs:
+            return [render_defline(d, True, bool(self.show_taxid))
+                    for d in h.defline_objs]
+        return h.deflines or [h.header]
 
     # ---- alignment walking (count_align / whole_align) ----------------------
 
@@ -555,13 +570,14 @@ class Reporter:
         w("  </hits>\n")
         w("</result>\n")
 
-    def show_tsv(self, hl: HitList, comments: bool, databasename: str,
-                 compile_stamp: str = "") -> None:
+    def show_tsv(self, hl: HitList, comments: bool, databasename: str
+                 ) -> None:
         w = self.out.write
         ev = hl.evmodel
         if comments:
-            w("# %s - Compiled %s - %s\n" % (PROGRAM, compile_stamp,
-                                             REFLINE1))
+            # (no compile stamp: the reference prints its __DATE__ here,
+            # which golden comparisons treat as volatile)
+            w("# %s - Compiled  - %s\n" % (PROGRAM, REFLINE1))
             w("# Query: %s\n" % self.query.description)
             w("# Database: %s\n" % databasename)
             if ev.available:
@@ -576,7 +592,7 @@ class Reporter:
             h = hl.hits[i]
             w(show_description(self.query.description))
             w("\t")
-            w(render_header(h.deflines or [h.header], 0, 0, LONG_MAX, 1,
+            w(render_header(self._deflines_gis(h), 0, 0, LONG_MAX, 1,
                 False))
             st = self.align_stats(h)
             w("\t%.2f\t%d\t%d\t%d\t%d\t%d\t%d\t%d" %
@@ -603,10 +619,12 @@ class Reporter:
 
         if st in (1, 3):
             qseqtype, seq, sym = "Amino Acid", q.aa[0], SYM_NCBI_AA
-        elif st == 5:
-            qseqtype, seq, sym = "Amino Acid", q.aa[0], SYM_SOUND
         else:
-            qseqtype, seq, sym = "Nucleotide", q.nt[0], SYM_NCBI_NT16
+            # the reference tests only symtype 1/3 here (hits.cc:1299), so
+            # sound queries (symtype 5) land in the nucleotide branch with
+            # an empty nt[0]
+            nt = q.nt[0] if q.nt[0] is not None else np.empty(0, np.int8)
+            qseqtype, seq, sym = "Nucleotide", nt, SYM_NCBI_NT16
         w("\t\t<queryInformation>\n")
         w("\t\t\t<queryFilename>./%s</queryFilename>\n" % info.queryname)
         w("\t\t\t<querySequencetype>%s</querySequencetype>\n" % qseqtype)
@@ -716,7 +734,8 @@ class Reporter:
         for i in range(hl.showhits):
             h = hl.hits[i]
             anchor = make_anchor(st, info.queryno, h)
-            gi, link, title = defline_split((h.deflines or [h.header])[0])
+            gi, link, title = defline_split(self._deflines_gis(h)[0])
+            gi = gi or 0
             w("\t\t\t<shortVersionHit>\n")
             w("\t\t\t\t<shortVersionAnchor>%s</shortVersionAnchor>\n" %
               anchor)
@@ -753,8 +772,11 @@ class Reporter:
             w("\t\t\t<longVersionHit>\n")
             w("\t\t\t\t<longVersionAnchor>%s</longVersionAnchor>\n" % anchor)
             w("\t\t\t\t<linkContainer>\n")
-            for d in (h.deflines or [h.header]):
-                gi, link, title = defline_split(d)
+            gi = 0
+            for d in self._deflines_gis(h):
+                gi_new, link, title = defline_split(d)
+                if gi_new is not None:
+                    gi = gi_new
                 write_link("longVersion", "\t\t\t\t\t", gi, link)
                 w("\t\t\t\t\t<longVersionName>%s</longVersionName>\n" %
                   title)

@@ -115,6 +115,46 @@ def dbs(tmp_path_factory):
     return d
 
 
+def test_golden_gi_deflines(ref_swipe, tmp_path):
+    """gi-bearing (and multi-defline) headers: the reference forces
+    show_gis=1 for -m 8/9 and -m 99 regardless of -I, and carries a
+    previous defline's gi into gi-less later deflines (-m 99)."""
+    from swipe_tpu.io.asn1 import Defline, SeqId
+    rng = np.random.default_rng(88)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    qp = "".join(rng.choice(AAl, 55))
+    seqs, dls = [], []
+    for i in range(12):
+        s = "".join(rng.choice(AAl, int(rng.integers(30, 90))))
+        if i in (3, 5):
+            s = qp[4:50]
+        seqs.append(encode(s, MAP_NCBI_AA))
+        ids = [SeqId("gi", number=1000 + i),
+               SeqId("sp", accession=f"P{i:05d}", version=1,
+                     name=f"NAM{i}_HUMAN")]
+        d = [Defline(title=f"gi seq {i}", seqids=ids)]
+        if i == 3:
+            # second defline WITHOUT a gi: -m 99 must reuse defline 1's gi
+            d.append(Defline(title=f"alt name {i}",
+                             seqids=[SeqId("sp", accession="Q99999",
+                                           version=2, name="ALT_HUMAN")]))
+        dls.append(d)
+    write_blastdb(str(tmp_path / "gidb"), seqs, dls, "aa",
+                  title="gi golden db", date="Jan 1, 2026  12:00 AM")
+    (tmp_path / "q.fa").write_text(f">q gi query\n{qp}\n")
+    base = ["-d", str(tmp_path / "gidb"), "-i", str(tmp_path / "q.fa"),
+            "-p", "blastp"]
+    for extra in (["-m", "8"], ["-m", "9", "-I"], ["-m", "99"],
+                  ["-m", "99", "-I"], ["-m", "0"], ["-m", "7"],
+                  ["-m", "7", "-I"]):
+        args = base + extra
+        ref_out = _normalize(run_ref(ref_swipe, args))
+        our_out = _normalize(run_ours(args))
+        assert our_out == ref_out, (
+            f"gi defline mismatch for {extra}\n"
+            + "\n".join(_first_diff(ref_out, our_out)))
+
+
 def test_golden_masked_subset(ref_swipe, tmp_path):
     """Masked-subset db (.msk OID bitmap + MEMB_BIT): both programs agree."""
     import struct
