@@ -275,6 +275,8 @@ def open_database(a: Args):
                 taxid_file=a.taxidfilename, show_gis=bool(a.show_gis),
                 show_taxid=bool(a.show_taxid))
     if os.path.exists(a.databasename):
+        if a.taxidfilename:
+            fatal("Taxid filtering (-x) requires a BLAST-format database.")
         return FastaDatabase(a.databasename,
                              "sound" if a.symtype == 5 else dbtype,
                              db_gencode=a.db_gencode)

@@ -100,12 +100,16 @@ class Defline:
 def render_defline(d: Defline, show_gis: bool = False,
                    show_taxid: bool = False) -> str:
     """The display defline string (parse_blast_def_line, asnparse.cc:855-886)."""
-    parts = []
+    # a gi suppressed by show_gis contributes an EMPTY segment: the
+    # reference appends "|" before every id once seqids is non-empty and
+    # then concatenates the (empty) id (asnparse.cc:793-796), so
+    # "sp|P1.1|NAM" + suppressed gi renders "sp|P1.1|NAM|"
+    defline = ""
     for sid in d.seqids:
         r = sid.render(show_gis)
-        if r is not None:
-            parts.append(r)
-    defline = "|".join(parts)
+        if defline:
+            defline += "|"
+        defline += r or ""
     if show_taxid:
         if d.taxid:
             defline += "|taxid|%d" % d.taxid
@@ -389,6 +393,8 @@ def _enc_string(s: str) -> bytes:
 
 
 def _enc_int(v: int) -> bytes:
+    if v < 0:
+        raise ValueError(f"negative integers not encodable here: {v}")
     body = bytearray()
     x = v
     while True:

@@ -19,7 +19,7 @@ import struct
 
 import numpy as np
 
-from ..alphabet import NT_COMPL, translate
+from ..alphabet import NT_COMPL, translate, revcompl
 from .asn1 import parse_defline_set, render_defline
 from .db import Database, SearchUnit
 
@@ -260,9 +260,13 @@ class BlastDatabase(Database):
         return bool((byte >> (7 - (s & 7))) & 1)
 
     def check_inclusion(self, seqno: int) -> bool:
+        """db_check_inclusion (database.cc:1465-1481): the membership bit
+        alone only tests the .msk oid bitmap; deflines are parsed during
+        the scan ONLY when a taxid filter is active (db_check_taxid_seqno
+        counts deflines passing both the taxid and membership filters)."""
         if not self._check_msk(seqno):
             return False
-        if self._taxid_bitmap is not None or self.memb_bit:
+        if self._taxid_bitmap is not None:
             return len(self._deflines_filtered(seqno)) > 0
         return True
 
@@ -314,7 +318,7 @@ class BlastDatabase(Database):
         if symtype in (3, 4):
             return translate(nt, dstrand, dframe, self.db_gencode), ntlen
         if dstrand:
-            return NT_COMPL[nt.astype(np.int64)][::-1].astype(np.int8), ntlen
+            return revcompl(nt), ntlen
         return nt, ntlen
 
     def get_length(self, seqno: int, symtype: int, dstrand: int = 0,
@@ -331,7 +335,7 @@ class BlastDatabase(Database):
                                  offset=off1 + aoff - 1)[0])
         ntlen = 4 * (aoff - 1) + (last & 3)
         if symtype in (3, 4):
-            return (ntlen - dframe) // 3, ntlen
+            return max((ntlen - dframe) // 3, 0), ntlen
         return ntlen, ntlen
 
     # ---- headers ---------------------------------------------------------------

@@ -43,7 +43,7 @@ def make_deflines(descriptions: list[str], parse_seqids: bool = False,
     for i, desc in enumerate(descriptions):
         d = Defline(title=desc if desc else "unnamed protein product")
         if parse_seqids and desc:
-            first = desc.split(" ", 1)
+            first = desc.split(None, 1)
             rest = first[1] if len(first) > 1 else ""
             d = Defline(title=rest if rest else "unnamed protein product",
                         seqids=[SeqId("lcl", id_string=first[0])])
@@ -56,42 +56,38 @@ def make_deflines(descriptions: list[str], parse_seqids: bool = False,
 def _pack_nt(codes: np.ndarray) -> tuple[bytes, bytes]:
     """Pack one nt16 sequence; returns (packed_bytes, ambiguity_section)."""
     n = len(codes)
-    two_bit = np.zeros(n, dtype=np.uint8)
-    ambig: list[tuple[int, int]] = []  # (position, nt16 value)
-    for i, c in enumerate(np.asarray(codes, dtype=np.int64)):
-        b = _NT16_TO_2BIT.get(int(c))
-        if b is None:
-            two_bit[i] = 0  # store A; fixed up by the ambiguity section
-            ambig.append((i, int(c)))
-        else:
-            two_bit[i] = b
+    c = np.asarray(codes, dtype=np.int64)
+    # vectorized nt16 -> 2-bit (ambiguous codes stored as A and fixed up
+    # by the ambiguity section); a 16-entry LUT with -1 marking ambiguity
+    lut = np.full(16, -1, dtype=np.int8)
+    for k, v in _NT16_TO_2BIT.items():
+        lut[k] = v
+    mapped = lut[c]
+    amb_pos = np.flatnonzero(mapped < 0)
+    two_bit = np.where(mapped < 0, 0, mapped).astype(np.uint8)
 
     full = n // 4
-    packed = bytearray()
-    for j in range(full):
-        b = (int(two_bit[4 * j]) << 6) | (int(two_bit[4 * j + 1]) << 4) | \
-            (int(two_bit[4 * j + 2]) << 2) | int(two_bit[4 * j + 3])
-        packed.append(b)
-    # last byte: remainder bases in the high bits, count in the low 2 bits
     rem = n - 4 * full
-    last = 0
+    quads = two_bit[: 4 * full].reshape(-1, 4)
+    pbytes = ((quads[:, 0] << 6) | (quads[:, 1] << 4) | (quads[:, 2] << 2)
+              | quads[:, 3]).astype(np.uint8)
+    # last byte: remainder bases in the high bits, count in the low 2 bits
+    last = rem
     for k in range(rem):
         last |= int(two_bit[4 * full + k]) << (6 - 2 * k)
-    last |= rem
-    packed.append(last)
+    packed = pbytes.tobytes() + bytes([last])
 
     # ambiguity section: run-length encode consecutive equal values
     entries: list[tuple[int, int, int]] = []  # (value, runlen, offset)
-    i = 0
-    while i < len(ambig):
-        pos, val = ambig[i]
-        run = 1
-        while (i + run < len(ambig)
-               and ambig[i + run][0] == pos + run
-               and ambig[i + run][1] == val):
-            run += 1
-        entries.append((val, run, pos))
-        i += run
+    if len(amb_pos):
+        vals = c[amb_pos]
+        brk = np.flatnonzero((np.diff(amb_pos) != 1)
+                             | (np.diff(vals) != 0))
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk, [len(amb_pos) - 1]])
+        for s0, e0 in zip(starts, ends):
+            entries.append((int(vals[s0]), int(e0 - s0 + 1),
+                            int(amb_pos[s0])))
 
     if not entries:
         return bytes(packed), b""

@@ -24,7 +24,7 @@ from typing import Iterator
 import numpy as np
 
 from ..alphabet import (MAP_NCBI_AA, MAP_NCBI_NT16, MAP_SOUND, NT_COMPL,
-                        translate)
+                        translate, revcompl)
 from .fasta import read_fasta
 
 __all__ = ["Database", "FastaDatabase", "SearchUnit"]
@@ -174,8 +174,7 @@ class FastaDatabase(Database):
         if symtype in (3, 4):
             return translate(s, dstrand, dframe, self.db_gencode), ntlen
         if dstrand:
-            return NT_COMPL[np.asarray(s, dtype=np.int64)][::-1].astype(
-                np.int8), ntlen
+            return revcompl(np.asarray(s, dtype=np.int8)), ntlen
         return s, ntlen
 
     def get_header(self, seqno: int) -> str:

@@ -25,16 +25,22 @@ def dump_fasta(out, db, symtype: int, split_headers: bool = False) -> None:
         sym = SYM_NCBI_NT16U
     else:
         sym = SYM_SOUND
+    from .asn1 import render_defline
+    show_taxid = bool(getattr(db, "show_taxid", False))
     for seqno in range(db.seqcount()):
         if not db.check_inclusion(seqno):
             continue
-        deflines = db.get_deflines(seqno) if hasattr(db, "get_deflines") \
-            else [db.get_header(seqno)]
+        # the reference parses dump headers with show_gis forced on
+        # (db_show_fasta, database.cc:1504)
+        deflines = [render_defline(d, True, show_taxid)
+                    for d in db.get_defline_objects(seqno)]
         if not deflines:
             continue
-        # raw sequence (strand 0, frame 0; no translation for the dump)
-        codes, _ = db.get_sequence(seqno, 0 if symtype in (0, 3, 4) else 1,
-                                   0, 0)
+        # strand 0 / frame 0 through the MODE's fetch path: for translated
+        # dbs (tblastn/x) the reference dumps the frame-0 translation and
+        # renders it through the nt16u map (db_print_seq,
+        # database.cc:1443-1455 — aa codes >= 16 print '#')
+        codes, _ = db.get_sequence(seqno, symtype, 0, 0)
         if split_headers:
             for d in deflines:
                 out.write(">%s\n" % d)

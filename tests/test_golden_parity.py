@@ -307,3 +307,30 @@ def _first_diff(a: str, b: str, n: int = 6):
             if len(out) >= 2 * n:
                 break
     return out
+
+
+def test_golden_gi_dump(ref_swipe, tmp_path):
+    """-N dumps force gi rendering (db_show_fasta, database.cc:1504)."""
+    from swipe_tpu.io.asn1 import Defline, SeqId
+    rng = np.random.default_rng(91)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    seqs, dls = [], []
+    for i in range(6):
+        s = "".join(rng.choice(AAl, int(rng.integers(20, 120))))
+        seqs.append(encode(s, MAP_NCBI_AA))
+        d = [Defline(title=f"gi dump seq {i}",
+                     seqids=[SeqId("gi", number=2000 + i),
+                             SeqId("sp", accession=f"Q{i:05d}", version=1,
+                                   name=f"DMP{i}_HUMAN")])]
+        if i == 2:
+            d.append(Defline(title="second name",
+                             seqids=[SeqId("gi", number=7777)]))
+        dls.append(d)
+    write_blastdb(str(tmp_path / "gidump"), seqs, dls, "aa",
+                  title="gi dump db", date="Jan 1, 2026  12:00 AM")
+    for dump in ("1", "2"):
+        args = ["-p", "blastp", "-d", str(tmp_path / "gidump"), "-N", dump]
+        ref_out = _normalize(run_ref(ref_swipe, args))
+        our_out = _normalize(run_ours(args))
+        assert "gi|2000" in our_out
+        assert our_out == ref_out, "\n".join(_first_diff(ref_out, our_out))
