@@ -60,14 +60,13 @@ def _row_forward(prev_H, EE, scores, q, r, floor_zero, h0, f_init):
     return H, E_new
 
 
-def region(a, b, matrix, q, r, hint_score=0):
+def region(a, b, matrix, q, r):
     """Find score and alignment region endpoints.
 
     Returns (score, a_begin, b_begin, a_end, b_end) with 0-based inclusive
-    coordinates.  When hint_score is nonzero the forward pass is skipped and
-    a_end/b_end must be supplied via full-width reverse search — the caller
-    (hits align phase) instead passes endpoints from the 16-bit hint kernel
-    and uses ``region_reverse`` directly.
+    coordinates.  (The reference's hint path — skipping the forward pass
+    when score/endpoints are known — is served by calling
+    ``region_reverse`` directly, as the align phase does.)
     """
     a = np.asarray(a, dtype=np.int64)
     b = np.asarray(b, dtype=np.int64)
@@ -76,9 +75,6 @@ def region(a, b, matrix, q, r, hint_score=0):
 
     score = 0
     a_end = b_end = 0
-    if hint_score:
-        raise ValueError("use region_reverse with explicit endpoints")
-
     H = np.zeros(N, dtype=np.int64)
     EE = np.full(N, -q, dtype=np.int64)
     for i in range(M):
@@ -111,7 +107,10 @@ def region_reverse(a, b, matrix, q, r, score, a_end, b_end):
         scores = mat[a[i], brev]
         h0 = 0 if i == a_end else _SENTINEL
         HH, EE = _row_reverse(HH, EE, scores, q, r, h0)
-        hits = np.nonzero(HH >= score)[0]
+        # the reference requires a STRICT improvement over Cost=0 before
+        # testing Cost >= score (align.cc:144-151), so a score-0 pair is
+        # never "found" and trips the fatal — match that exactly
+        hits = np.nonzero(HH >= max(score, 1))[0]
         if len(hits):
             jr = int(hits[0])  # first in reversed order = largest original j
             return i, b_end - jr

@@ -50,6 +50,14 @@ def _parse_matrix_text(text: str, charmap: np.ndarray) -> np.ndarray:
     whitespace gives the column symbol order; any other line is a row whose
     first character is the row symbol.  Entries whose row or column symbol is
     outside the 32-code alphabet are dropped.
+
+    The canonical array is indexed [query_code, db_code] throughout this
+    package, while the reference scores matrix[db<<5 | query]
+    (align.cc:86, search63.cc:52) against its file-row-major parse
+    (matrices.cc:408-417) — i.e. score(q, d) = file[row d][col q].  The
+    parsed array is therefore TRANSPOSED before returning so asymmetric
+    matrix files behave identically.  (All builtin matrices are
+    symmetric, so this only matters for user files.)
     """
     m = np.full((32, 32), -1, dtype=np.int64)
     order: list[int] = []
@@ -64,7 +72,7 @@ def _parse_matrix_text(text: str, charmap: np.ndarray) -> np.ndarray:
         for b, sc in zip(order, scores):
             if 0 <= a < 32 and 0 <= b < 32:
                 m[a, b] = sc
-    return m
+    return m.T.copy()
 
 
 @dataclass

@@ -1,8 +1,10 @@
 """Karlin-Altschul statistics: parameter tables, length adjustment, E-values.
 
 The parameter tables are the public-domain NCBI BLAST constants
-(per-matrix/per-gap-cost rows of {gapopen, gapextend, lambda, K, H, alpha,
-beta}) stored in ``swipe_tpu/data/ka_params.json``.  Lookup semantics match
+(per-matrix/per-gap-cost rows; protein rows are 8-wide
+{gapopen, gapextend, decline_to_align, lambda, K, H, alpha, beta} —
+get_params reads columns 3..7 — and blastn rows are 7-wide without the
+decline field) stored in ``swipe_tpu/data/ka_params.json``.  Lookup semantics match
 the reference (parity targets: /root/reference/stats.cc:44-325 and
 /root/reference/blastkar_partial.c:656-748):
 

@@ -309,6 +309,25 @@ def _first_diff(a: str, b: str, n: int = 6):
     return out
 
 
+def test_golden_asymmetric_matrix(ref_swipe, dbs, tmp_path):
+    """Custom asymmetric -M files: the reference scores
+    matrix[db_row][query_col] (align.cc:86), so the parsed file must be
+    transposed into our [query, db] convention."""
+    rng = np.random.default_rng(33)
+    AAl = "ARNDCQEGHILKMFPSTWYV"
+    vals = rng.integers(-4, 9, size=(20, 20))
+    lines = ["# asymmetric fuzz matrix", "   " + "  ".join(AAl)]
+    for i, c in enumerate(AAl):
+        lines.append(c + " " + " ".join("%2d" % v for v in vals[i]))
+    mf = tmp_path / "asym.mat"
+    mf.write_text("\n".join(lines) + "\n")
+    args = ["-p", "blastp", "-m", "9", "-M", str(mf), "-G", "10", "-E", "2",
+            "-e", "1000", "-d", str(dbs / "prot"), "-i", str(dbs / "qp.fa")]
+    ref_out = _normalize(run_ref(ref_swipe, args))
+    our_out = _normalize(run_ours(args))
+    assert our_out == ref_out, "\n".join(_first_diff(ref_out, our_out))
+
+
 def test_golden_gi_dump(ref_swipe, tmp_path):
     """-N dumps force gi rendering (db_show_fasta, database.cc:1504)."""
     from swipe_tpu.io.asn1 import Defline, SeqId
