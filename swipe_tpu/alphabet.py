@@ -246,7 +246,7 @@ def translate(
     if strand == 0:
         codons = dna[frame : frame + 3 * plen].reshape(plen, 3)
     else:
-        rc = NT_COMPL[dna][::-1].astype(np.int64)
+        rc = revcompl(dna).astype(np.int64)
         codons = rc[frame : frame + 3 * plen].reshape(plen, 3)
     idx = (codons[:, 0] << 8) | (codons[:, 1] << 4) | codons[:, 2]
     return translation_table(gencode)[idx].astype(np.int8)

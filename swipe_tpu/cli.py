@@ -10,6 +10,7 @@ selects pallas (TPU), lax (any backend) or pallas_interpret scoring.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
@@ -393,6 +394,9 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(trace_dir)
 
     show_begin(out, a.view)
+
+    if a.queryname != "-" and not os.path.exists(a.queryname):
+        fatal("Cannot open query file.")
 
     def batched_results():
         """(queryno, query, hits, timings) in input order; --batch N scores

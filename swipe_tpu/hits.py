@@ -19,7 +19,7 @@ the reference's insertion loop produces:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -27,8 +27,6 @@ from .align import align as align_fn
 from .stats import EvalueModel
 
 __all__ = ["Hit", "HitList"]
-
-LONG_MAX = 2**63 - 1
 
 
 def mode_multiplier(symtype: int, querystrands: int) -> int:
@@ -119,7 +117,7 @@ class HitList:
         else:
             self.totalhits += int(counts[0])
             self.obvious += int(counts[1])
-        keep = (scores >= self.init_threshold) & \
+        keep = (scores >= self.scorethreshold) & \
                (scores <= self.upperscorethreshold)
         idx = np.nonzero(keep)[0]
         if self.symtype == 0 and qstrand:
@@ -136,6 +134,17 @@ class HitList:
             self._cand.append((-int(scores[i]), -int(seqnos[i]),
                                hqstrand, hqframe, int(dstr[i]), int(dfr[i]),
                                int(seqnos[i]), int(scores[i])))
+        # bounded memory like the reference's rising dynamic threshold
+        # (hits.cc:218-219): once the buffer is well past keephits, keep
+        # only the winners and admit nothing below the kth score.  The
+        # comparator is a total order, so truncation keeps exactly the
+        # entries the final sort would.
+        if len(self._cand) > max(4 * self.keephits, 4096):
+            self._cand.sort()
+            del self._cand[self.keephits:]
+            if len(self._cand) == self.keephits:
+                self.scorethreshold = max(self.scorethreshold,
+                                          self._cand[-1][7])
 
     def finalize(self) -> None:
         """Select and order the kept hits (the reference's final list)."""

@@ -19,7 +19,7 @@ from typing import Iterator, TextIO
 
 import numpy as np
 
-from ..alphabet import map_for_symtype, revcompl, translate
+from ..alphabet import map_for_symtype, revcompl, translate, encode
 
 __all__ = ["Query", "read_fasta", "read_queries", "QueryReader"]
 
@@ -90,9 +90,7 @@ def preprocess_query(description: str, raw: str, symtype: int, strands: int,
                      query_gencode: int = 1) -> Query:
     """Encode a raw query and build strand/frame variants per search mode."""
     charmap = map_for_symtype(symtype)
-    raw_b = raw.encode("ascii", errors="replace")
-    codes = charmap[np.frombuffer(raw_b, dtype=np.uint8)]
-    seq = codes[codes >= 0].astype(np.int8)
+    seq = encode(raw, charmap)
 
     q = Query(description, symtype, strands)
     if symtype in (0, 2, 4):
@@ -111,14 +109,29 @@ def preprocess_query(description: str, raw: str, symtype: int, strands: int,
 
 def read_queries(path: str, symtype: int, strands: int,
                  query_gencode: int = 1) -> Iterator[Query]:
-    """Read and preprocess every query in a FASTA file ('-' = stdin)."""
-    fp = sys.stdin if path == "-" else open(path)
-    try:
-        for desc, raw in read_fasta(fp):
-            yield preprocess_query(desc, raw, symtype, strands, query_gencode)
-    finally:
-        if fp is not sys.stdin:
-            fp.close()
+    """Read and preprocess every query in a FASTA file ('-' = stdin).
+
+    Files are read byte-exact (latin-1): the reference consumes raw bytes
+    and the char maps drop anything unmappable (query.cc:265-330), so a
+    stray non-UTF-8 byte in a header must not abort the run.  The file is
+    opened eagerly so a missing path fails at call time like the
+    reference's query_init fatal (query.cc:194).
+    """
+    if path == "-":
+        import io as _io
+        fp = _io.TextIOWrapper(sys.stdin.buffer, encoding="latin-1")
+    else:
+        fp = open(path, encoding="latin-1")
+
+    def gen():
+        try:
+            for desc, raw in read_fasta(fp):
+                yield preprocess_query(desc, raw, symtype, strands,
+                                       query_gencode)
+        finally:
+            if path != "-":
+                fp.close()
+    return gen()
 
 
 class QueryReader:

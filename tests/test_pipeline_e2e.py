@@ -459,3 +459,33 @@ def test_device_topk_tie_membership_translated():
     ref = SearchEngine(db, params, nseqs=8, backend="lax").search(q)
     assert [(h.seqno, h.score, h.dstrand, h.dframe) for h in got.hits] == \
            [(h.seqno, h.score, h.dstrand, h.dframe) for h in ref.hits]
+
+
+def test_hitlist_candidate_compaction():
+    # stats-unavailable mode admits nearly every sequence; the candidate
+    # buffer must stay bounded and still produce the exact final list
+    from swipe_tpu.hits import HitList
+    from swipe_tpu.stats import EvalueModel
+
+    class _DB:
+        def seqcount_masked(self):
+            return 6000
+
+        def symcount_masked(self):
+            return 6000 * 50
+
+    ev = EvalueModel(1, 50, 6000, 300000, matrixname="NOSUCH",
+                     gapopen=3, gapextend=3)
+    assert not ev.available
+    hl = HitList(20, 5, 1, 2**62, 0.0, 10.0, ev, _DB(), 1, 3)
+    rng = np.random.default_rng(5)
+    scores = rng.integers(1, 500, size=6000)
+    want = sorted(((-int(s), -i) for i, s in enumerate(scores)))[:hl.keephits]
+    for i in range(0, 6000, 100):
+        sl = slice(i, i + 100)
+        hl.enter_batch(np.arange(i, i + 100), scores[sl], 0, 0,
+                       np.zeros(100, np.int64), np.zeros(100, np.int64))
+        assert len(hl._cand) <= max(4 * hl.keephits, 4096) + 100
+    hl.finalize()
+    assert [(-h.score, -h.seqno) for h in hl.hits] == want
+    assert hl.totalhits == 6000
