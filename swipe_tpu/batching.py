@@ -101,7 +101,9 @@ def pack_database(seqs: list[np.ndarray], nseqs: int = 512,
         # shapes; full chunks are exactly max_cols); the padding columns
         # extend the last segment with PAD symbols
         L = round_up(group_cols, 512)
-        data = np.full((L, nseqs), PAD_SYMBOL, dtype=np.int8)
+        # lane-major build then one contiguous transpose (column-strided
+        # writes into [L, nseqs] are ~10x slower; cf. pack_stream)
+        data_t = np.full((nseqs, L), PAD_SYMBOL, dtype=np.int8)
         nsegs = len(group)
         # pad the segment-count axis to a power of two (few output shapes)
         nsegs_pad = 1
@@ -115,13 +117,14 @@ def pack_database(seqs: list[np.ndarray], nseqs: int = 512,
             seg_len = round_up(max(int(lens[idx].max()), 1), SEG_BLK)
             for lane, si in enumerate(idx):
                 s = seqs[si]
-                data[col: col + len(s), lane] = s
+                data_t[lane, col: col + len(s)] = s
                 snos[k, lane] = seqnos[si]
                 lengths[k, lane] = len(s)
             seg_ids[col // SEG_BLK: (col + seg_len) // SEG_BLK] = k
             col += seg_len
         seg_ids[col // SEG_BLK:] = nsegs - 1
-        chunks.append(PackedChunk(data, seg_ids, snos, lengths))
+        chunks.append(PackedChunk(np.ascontiguousarray(data_t.T), seg_ids,
+                                  snos, lengths))
         group = []
         group_cols = 0
 

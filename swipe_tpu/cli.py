@@ -59,6 +59,15 @@ USAGE = """Usage: %s [OPTIONS]
 """
 
 
+def _atol(val) -> int:
+    """C atol semantics: unparsable text is 0 (the reference then rejects
+    the 0 in its range validation, e.g. 'Illegal symbol type.')."""
+    try:
+        return int(val)
+    except (TypeError, ValueError):
+        return 0
+
+
 def fatal(msg: str):
     sys.stderr.write(msg + "\n")
     sys.exit(1)
@@ -154,7 +163,7 @@ def parse_args(argv: list[str]) -> Args:
                 i += 1
                 continue
             if opt == "BATCH":
-                a.batch = int(val if val is not None else next_val(arg))
+                a.batch = _atol(val if val is not None else next_val(arg))
                 i += 1
                 continue
         elif arg.startswith("-") and len(arg) >= 2:
@@ -187,11 +196,11 @@ def parse_args(argv: list[str]) -> Args:
             a.show_taxid = 1
         elif opt == "S":
             a.querystrands = {"plus": 1, "minus": 2, "both": 3}.get(
-                val, None) or int(val)
+                val, None) or _atol(val)
         elif opt == "p":
             a.symtype = SYMTYPE_NAMES.get(val, None)
             if a.symtype is None:
-                a.symtype = int(val)
+                a.symtype = _atol(val)
         elif opt == "C":
             if val.upper() != "F" and val != "0":
                 fatal("Composition-based score adjustments not supported.")
@@ -372,6 +381,8 @@ def main(argv=None) -> int:
     if a.dump:
         from .io.dump import dump_fasta
         dump_fasta(out, db, a.symtype, split_headers=(a.dump == 2))
+        if a.outfile:
+            out.close()
         return 0
 
     params = SearchParams(
@@ -382,6 +393,9 @@ def main(argv=None) -> int:
         alignments=a.alignments, minscore=a.minscore, maxscore=a.maxscore,
         expect=a.expect, minexpect=a.minexpect, effdbsize=a.effdbsize,
         query_gencode=a.query_gencode, db_gencode=a.db_gencode)
+
+    if a.queryname != "-" and not os.path.exists(a.queryname):
+        fatal("Cannot open query file.")
 
     engine = SearchEngine(db, params, backend=a.backend)
 
@@ -394,9 +408,6 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(trace_dir)
 
     show_begin(out, a.view)
-
-    if a.queryname != "-" and not os.path.exists(a.queryname):
-        fatal("Cannot open query file.")
 
     def batched_results():
         """(queryno, query, hits, timings) in input order; --batch N scores
@@ -433,7 +444,6 @@ def main(argv=None) -> int:
                           "computed.\n\n")
             out.write("Searching...")
             out.flush()
-        if a.view == 0:
             out.write("..............................................."
                       "done\n\n")
             out.write("Search started:    %s\n" % timings.starttime)

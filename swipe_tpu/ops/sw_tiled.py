@@ -34,18 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sw_pallas import NEG_INF, SEG_BLK
+from .sw_pallas import NEG_INF, SEG_BLK, _scan_steps
 
 __all__ = ["sw_scores_tiled"]
 
 TQ = 64  # query rows per tile
-
-
-def _scan_steps(n: int):
-    d = 1
-    while d < n:
-        yield d
-        d *= 2
 
 
 def _tiled_kernel(seg_ref, qpt_ref, db_ref, out_ref,
@@ -78,7 +71,6 @@ def _tiled_kernel(seg_ref, qpt_ref, db_ref, out_ref,
     iota_r = jax.lax.broadcasted_iota(jnp.int32, (TQ, 1), 0)
     qr_vec = iota_r * R                          # local r * R
     f_off = Q + jnp.maximum(iota_r - 1, 0) * R   # Q + (r-1) R
-    rR = iota_r * R
 
     dblk = db_ref[...].astype(jnp.int32)
     oh_ref[...] = (dblk[:, None, :] == sym_iota[None, :, :1]).astype(jnp.int8)
@@ -119,7 +111,7 @@ def _tiled_kernel(seg_ref, qpt_ref, db_ref, out_ref,
                 tacc = jnp.maximum(tacc, jnp.where(iota_r >= d, td, NEG_INF))
             f = pltpu.roll(tacc, 1, axis=0)
             f = jnp.where(iota_r == 0, NEG_INF, f) - f_off
-            f = jnp.maximum(f, carry - rR)
+            f = jnp.maximum(f, carry - qr_vec)
 
             h = jnp.maximum(hnof, f)
             if clamp is not None:
