@@ -60,12 +60,13 @@ USAGE = """Usage: %s [OPTIONS]
 
 
 def _atol(val) -> int:
-    """C atol semantics: unparsable text is 0 (the reference then rejects
-    the 0 in its range validation, e.g. 'Illegal symbol type.')."""
-    try:
-        return int(val)
-    except (TypeError, ValueError):
-        return 0
+    """C atol semantics: parse a leading [+-]?digits prefix; anything
+    without one is 0 (the reference then rejects the 0 in its range
+    validation, e.g. 'Illegal symbol type.').  A trailing suffix is
+    ignored, so '-p 1x' runs blastp exactly like the reference."""
+    import re
+    m = re.match(r"\s*[+-]?\d+", str(val)) if val is not None else None
+    return int(m.group()) if m else 0
 
 
 def fatal(msg: str):

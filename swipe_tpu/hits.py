@@ -117,6 +117,9 @@ class HitList:
         else:
             self.totalhits += int(counts[0])
             self.obvious += int(counts[1])
+        if self.keephits == 0:
+            # -v 0 -b 0 (accepted by the reference): counters only, no list
+            return
         keep = (scores >= self.scorethreshold) & \
                (scores <= self.upperscorethreshold)
         idx = np.nonzero(keep)[0]
@@ -142,7 +145,7 @@ class HitList:
         if len(self._cand) > max(4 * self.keephits, 4096):
             self._cand.sort()
             del self._cand[self.keephits:]
-            if len(self._cand) == self.keephits:
+            if self.keephits and len(self._cand) == self.keephits:
                 self.scorethreshold = max(self.scorethreshold,
                                           self._cand[-1][7])
 

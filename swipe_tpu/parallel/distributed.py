@@ -122,10 +122,19 @@ def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
 
 def merge_topk(scores: np.ndarray, units: np.ndarray, k: int
                ) -> tuple[np.ndarray, np.ndarray]:
-    """Host-side final merge of gathered per-device top-k lists."""
+    """Host-side final merge of gathered per-device top-k lists.
+
+    Sentinel padding entries (unit -1, masked to score -1 on device —
+    below any legal SW score) sort last; the result is trimmed so no row
+    is wider than the largest real result count.  Rows with fewer real
+    results than others still carry trailing unit<0 entries, which
+    callers must skip.
+    """
     order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
-    return (np.take_along_axis(scores, order, axis=1),
-            np.take_along_axis(units, order, axis=1))
+    s = np.take_along_axis(scores, order, axis=1)
+    u = np.take_along_axis(units, order, axis=1)
+    kk = min(k, int((u >= 0).sum(axis=1).max())) if u.size else 0
+    return s[:, :kk], u[:, :kk]
 
 
 def shard_stream_chunk(chunk, n_db: int):

@@ -48,6 +48,33 @@ def test_sharded_stream_topk_exact():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_stream_topk_sentinel_trim():
+    # fewer real sequences than k per shard: sentinel (unit -1, score -1)
+    # padding must never surface through merge_topk
+    rng = np.random.default_rng(7)
+    m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    queries = [rng.integers(1, 26, size=30, dtype=np.int8)]
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in rng.integers(5, 60, size=12)]
+    ch = pack_stream(seqs, nseqs=512)[0]
+    eb, ln, un = shard_stream_chunk(ch, n_db=4)
+    mesh = make_mesh(n_db=4, n_q=1)
+    qc, ql = build_qcodes(queries, 32)
+    k = 16  # > 12 real sequences in total
+    scores, units, cells = sharded_stream_topk(
+        mesh, jnp.asarray(qc), jnp.asarray(ql),
+        jnp.asarray(build_matrix8(m.matrix)), jnp.asarray(ch.data),
+        jnp.asarray(ch.start), jnp.asarray(eb), jnp.asarray(ln),
+        jnp.asarray(un), gapopenextend=12, gapextend=1, k=k,
+        backend="lax")
+    top_s, top_u = merge_topk(np.asarray(scores), np.asarray(units), k)
+    assert top_u.shape[1] == len(seqs)
+    assert (top_u >= 0).all()
+    want = sw_numpy_many(queries[0], seqs, m.matrix, 11, 1)
+    assert np.array_equal(top_s[0], np.sort(want)[::-1])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 @pytest.mark.parametrize("n_db,n_q", [(8, 1), (2, 4), (1, 8)])
 def test_sharded_stream_mesh_shapes(n_db, n_q):
     rng = np.random.default_rng(n_db * 100 + n_q)

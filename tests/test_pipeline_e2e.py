@@ -415,6 +415,48 @@ def test_cli_combined_short_flags(tmp_path, capsys):
     assert a.show_gis == 1 and a.show_taxid == 0
 
 
+def test_cli_atol_prefix_semantics():
+    # C atol parses a leading numeric prefix: '-p 1x' runs blastp in the
+    # reference rather than dying with 'Illegal symbol type.'
+    from swipe_tpu.cli import _atol, parse_args
+    assert _atol("1x") == 1
+    assert _atol("  -3yz") == -3
+    assert _atol("+2 ") == 2
+    assert _atol("x1") == 0
+    assert _atol(None) == 0
+    a = parse_args(["-p", "1x", "-d", "x"])
+    assert a.symtype == 1
+    a = parse_args(["-S", "2extra", "-p", "0", "-d", "x"])
+    assert a.querystrands == 2
+
+
+def test_hitlist_keephits_zero_counts_only():
+    # -v 0 -b 0 is accepted by the reference: counters tick, list stays
+    # empty, and the compaction path must not crash past 4096 candidates
+    from swipe_tpu.hits import HitList
+    from swipe_tpu.stats import EvalueModel
+
+    class _DB:
+        def seqcount_masked(self):
+            return 10000
+
+        def symcount_masked(self):
+            return 10000 * 50
+
+    ev = EvalueModel(1, 50, 10000, 500000, matrixname="NOSUCH",
+                     gapopen=3, gapextend=3)
+    hl = HitList(0, 0, 1, 2**62, 0.0, 10.0, ev, _DB(), 1, 3)
+    assert hl.keephits == 0
+    rng = np.random.default_rng(9)
+    scores = rng.integers(1, 500, size=10000)
+    for i in range(0, 10000, 500):
+        sl = slice(i, i + 500)
+        hl.enter_batch(np.arange(i, i + 500), scores[sl], 0, 0,
+                       np.zeros(500, np.int64), np.zeros(500, np.int64))
+    hl.finalize()
+    assert hl.hits == [] and hl.totalhits == 10000
+
+
 def test_empty_query_description_no_line(tmp_path):
     from contextlib import redirect_stdout
 
