@@ -29,7 +29,7 @@ import numpy as np
 from .ops.sw_pallas import PAD_SYMBOL, SEG_BLK
 
 __all__ = ["PackedChunk", "pack_database", "StreamChunk", "pack_stream",
-           "round_up"]
+           "pack_stream_carry", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -252,8 +252,8 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
     # a sequence longer than max_cols stretches the whole chunk: raise the
     # cap so OTHER lanes keep filling to the same height (otherwise every
     # other lane would be padding).  The chunk's footprint is still
-    # nseqs x longest-member, so truly chromosome-scale database sequences
-    # need a smaller nseqs or the segment backend.
+    # nseqs x longest-member — chromosome-scale sequences belong in
+    # pack_stream_carry, which bounds every chunk at nseqs x max_cols.
     chunk_cap = max_blocks
     for si in order:
         nb = max(-(-int(lens[si]) // block), 1)
@@ -266,4 +266,102 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
         heapq.heappushpop(heap, (used + nb, ln))
         members[ln].append(int(si))
     flush()
+    return chunks
+
+
+def pack_stream_carry(seqs: list[np.ndarray], nseqs: int = 1024,
+                      max_cols: int = 65536, block: int = 16,
+                      seqnos: np.ndarray | None = None
+                      ) -> list[StreamChunk]:
+    """Carry packing: bounded chunks for unbounded sequence lengths.
+
+    The db-axis transpose of ``sw_scores_stream_long``'s query tiling,
+    and the TPU equivalent of the reference's O(qlen)-state unbounded db
+    streaming (/root/reference/search7.cc:787 — hearray is the only
+    state; windowed mmap database.cc:1082-1131): each lane holds one
+    concatenated stream of whole sequences (LPT-assigned by total load),
+    and the streams are cut every ``max_cols`` columns into fixed-height
+    chunks.  A sequence crossing a cut continues at block 0 of the next
+    chunk on the SAME lane with no start mask — the kernel must carry
+    H/E/S state across the series (ops.sw_stream.sw_scores_stream_carry),
+    which makes the cut invisible to the DP.  Every chunk's footprint is
+    <= nseqs x max_cols bytes regardless of member lengths.
+
+    The returned chunks must be scored IN ORDER with state threaded
+    between them; each chunk's (seqnos, lane, end_block) lists only the
+    sequences that *end* in that chunk.
+
+    Chunks are emitted COMPACT: only the ``min(len(seqs), nseqs)`` lanes
+    that can ever hold data are materialized (LPT fills lanes 0..n-1
+    first), so neither host memory nor the host->device link pays for
+    idle-lane padding.  Consumers needing a wider kernel lane count pad
+    on device (sw_scores_stream_carry does this itself).
+    """
+    if max_cols % block:
+        raise ValueError(f"max_cols {max_cols} not a multiple of {block}")
+    if seqnos is None:
+        seqnos = np.arange(len(seqs), dtype=np.int64)
+    if not len(seqs):
+        return []
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    nblk = np.maximum(-(-lens // block), 1)
+    order = np.argsort(-lens, kind="stable")
+
+    # global LPT: each sequence goes to the least-loaded lane
+    heap = [(0, ln) for ln in range(nseqs)]
+    members: list[list[int]] = [[] for _ in range(nseqs)]
+    for si in order:
+        used, ln = heap[0]
+        heapq.heappushpop(heap, (used + int(nblk[si]), ln))
+        members[ln].append(int(si))
+    nused = min(len(seqs), nseqs)
+    members = members[:nused]
+    # per-lane member start blocks (within the lane's global stream)
+    starts = [np.concatenate([[0], np.cumsum(nblk[m])]).astype(np.int64)
+              for m in members]
+    total_blocks = int(max(s[-1] for s in starts))
+
+    H = max_cols // block
+    nchunks = -(-total_blocks // H)
+    chunks: list[StreamChunk] = []
+    for c in range(nchunks):
+        lo = c * H
+        # uniform height except the last chunk (bucketed to 8 blocks for
+        # bounded compile-cache shapes)
+        hc = H if c < nchunks - 1 else round_up(total_blocks - lo, 8)
+        hi = lo + hc
+        data_t = np.full((nused, hc * block), PAD_SYMBOL, dtype=np.int8)
+        start = np.zeros((hc, nused), dtype=np.int8)
+        snos, lanev, endv = [], [], []
+        residues = 0
+        for ln in range(nused):
+            st = starts[ln]
+            if st[-1] <= lo:
+                continue
+            # members whose block range [st[k], st[k+1]) overlaps [lo, hi)
+            k0 = int(np.searchsorted(st, lo, side="right")) - 1
+            k1 = int(np.searchsorted(st, hi, side="left"))
+            for k in range(max(k0, 0), min(k1, len(members[ln]))):
+                si = members[ln][k]
+                sb = int(st[k])
+                gcol = sb * block              # member's global start col
+                a = max(gcol, lo * block)      # piece range, global cols
+                b = min(gcol + int(lens[si]), hi * block)
+                if b > a:
+                    data_t[ln, a - lo * block: b - lo * block] = \
+                        seqs[si][a - gcol: b - gcol]
+                    residues += b - a
+                if lo <= sb < hi:
+                    start[sb - lo, ln] = 1
+                eb = sb + int(nblk[si]) - 1
+                if lo <= eb < hi:
+                    snos.append(seqnos[si])
+                    lanev.append(ln)
+                    endv.append(eb - lo)
+        chunks.append(StreamChunk(
+            data_t, start,
+            np.array(snos, dtype=np.int64),
+            np.array(lanev, dtype=np.int32),
+            np.array(endv, dtype=np.int32),
+            residues))
     return chunks

@@ -58,7 +58,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .sw_pallas import NEG_INF, PAD_SYMBOL
 
 __all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
-           "build_matrix8", "build_qcodes", "KSEG", "SUB"]
+           "build_matrix8", "build_qcodes", "KSEG", "SUB",
+           "sw_scores_stream_carry", "sw_scores_stream_lax_carry",
+           "make_stream_state", "make_stream_state_lax"]
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
@@ -76,6 +78,18 @@ def build_matrix8(matrix: np.ndarray) -> np.ndarray:
     return m8
 
 
+def build_matrix_wide(matrix: np.ndarray) -> np.ndarray:
+    """[32, 32] int32 matrix for the lax twins when scores exceed int8:
+    the PAD row/column only needs to be strictly negative (padding can
+    then never raise the running max; see _stream_lax_core)."""
+    m = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
+    m32 = m.astype(np.int32).copy()
+    pad = int(min(m.min(), -1))
+    m32[PAD_SYMBOL, :] = pad
+    m32[:, PAD_SYMBOL] = pad
+    return m32
+
+
 def build_qcodes(queries: list[np.ndarray], qlen_pad: int
                  ) -> tuple[np.ndarray, np.ndarray]:
     """([NQ, qlen_pad] int32 codes, [NQ] int32 lengths) for the kernel."""
@@ -91,10 +105,8 @@ def build_qcodes(queries: list[np.ndarray], qlen_pad: int
     return qc, ql
 
 
-def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, out_ref,
-                   hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-                   oh_ref, dprof_ref, *,
-                   Q: int, R: int, clamp: int | None):
+def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
+                   Q: int, R: int, clamp: int | None, carry: bool = False):
     """One (query, db-block) grid step.
 
     db_ref:    [KSEG*SUB, NL] int8 — column j's symbols are rows j*8..j*8+7
@@ -104,16 +116,45 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, out_ref,
     hrow/frow: [KSEG, SUB, NL] int32 — previous query row's H/F per column
     oh_ref:    [32, KSEG*SUB, NL] int8 one-hot scratch
     dprof_ref: [32, KSEG, SUB, NL] int32 block score profile
+
+    With ``carry`` the per-lane DP state (H/E per query row + running S)
+    enters and leaves through HBM instead of being zero-initialized: at
+    block 0 it is DMA'd from hin/ein/sin [NQ, ...] into the same VMEM
+    scratch, and after the last block the scratch is DMA'd to
+    hout/eout/sout.  This makes a chunk boundary invisible to the DP —
+    the packer (batching.pack_stream_carry) cuts lanes mid-sequence and
+    the cut columns continue in the next chunk of the series.
     """
+    if carry:
+        (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
+         hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+         oh_ref, dprof_ref, dma_sem) = rest
+    else:
+        (out_ref, hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+         oh_ref, dprof_ref) = rest
     qi = pl.program_id(0)
     b = pl.program_id(1)
     nl = db_ref.shape[1]
 
-    @pl.when(b == 0)
-    def _init():
-        hst_ref[...] = jnp.zeros_like(hst_ref)
-        est_ref[...] = jnp.full_like(est_ref, NEG_INF)
-        s_ref[...] = jnp.zeros_like(s_ref)
+    if carry:
+        @pl.when(b == 0)
+        def _load():
+            cps = [pltpu.make_async_copy(hin_ref.at[qi], hst_ref,
+                                         dma_sem.at[0]),
+                   pltpu.make_async_copy(ein_ref.at[qi], est_ref,
+                                         dma_sem.at[1]),
+                   pltpu.make_async_copy(sin_ref.at[qi], s_ref,
+                                         dma_sem.at[2])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+    else:
+        @pl.when(b == 0)
+        def _init():
+            hst_ref[...] = jnp.zeros_like(hst_ref)
+            est_ref[...] = jnp.full_like(est_ref, NEG_INF)
+            s_ref[...] = jnp.zeros_like(s_ref)
 
     # ---- dprofile: one-hot matmul on the MXU --------------------------------
     # the one-hot is staged through an int8 VMEM scratch on purpose:
@@ -183,6 +224,20 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, out_ref,
          jnp.where(reset, 0, s_ref[...])))
     s_ref[...] = s
     out_ref[0, 0] = s
+
+    if carry:
+        @pl.when(b == pl.num_programs(1) - 1)
+        def _store():
+            cps = [pltpu.make_async_copy(hst_ref, hout_ref.at[qi],
+                                         dma_sem.at[0]),
+                   pltpu.make_async_copy(est_ref, eout_ref.at[qi],
+                                         dma_sem.at[1]),
+                   pltpu.make_async_copy(s_ref, sout_ref.at[qi],
+                                         dma_sem.at[2])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
 
 
 @functools.partial(
@@ -268,6 +323,116 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     return out.reshape(nq, nblocks, nseqs)
 
 
+def make_stream_state(nq: int, qlen_pad: int, nseqs: int):
+    """Fresh (h, e, s) carry state for a pack_stream_carry series
+    (the kernel layout: lane i -> (sublane i // nl, lane i % nl))."""
+    nl = nseqs // SUB
+    return (jnp.zeros((nq, qlen_pad, SUB, nl), jnp.int32),
+            jnp.full((nq, qlen_pad, SUB, nl), NEG_INF, jnp.int32),
+            jnp.zeros((nq, SUB, nl), jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "clamp", "interpret"),
+)
+def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
+                           matrix8: jax.Array, db: jax.Array,
+                           start: jax.Array, h: jax.Array, e: jax.Array,
+                           s: jax.Array, *, gapopenextend: int,
+                           gapextend: int, clamp: int | None = None,
+                           interpret: bool = False):
+    """sw_scores_stream over ONE chunk of a pack_stream_carry series.
+
+    h/e: [NQ, QLEN, SUB, NL] int32, s: [NQ, SUB, NL] int32 — the per-lane
+    DP state left by the previous chunk (make_stream_state for the first).
+    Returns (scores [NQ, nblocks, NSEQS], h', e', s'); thread the state
+    into the next chunk of the series.  Lane resets still come from the
+    start mask, so lanes that begin a new sequence at a chunk boundary
+    ignore the carried state — only cut (continuing) lanes consume it.
+
+    ``db``/``start`` may be narrower than the state's lane count (compact
+    chunks from pack_stream_carry): the missing lanes are PAD-filled on
+    device, so idle lanes never cross the host->device link.
+    """
+    nq, qlen_pad = qcodes.shape
+    L, nseqs = db.shape
+    nseqs_state = h.shape[2] * h.shape[3]
+    if nseqs < nseqs_state:
+        db = jnp.concatenate(
+            [db, jnp.full((L, nseqs_state - nseqs), PAD_SYMBOL, db.dtype)],
+            axis=1)
+        start = jnp.concatenate(
+            [start,
+             jnp.zeros((start.shape[0], nseqs_state - nseqs), start.dtype)],
+            axis=1)
+        nseqs = nseqs_state
+    if L % KSEG:
+        raise ValueError(f"db length {L} not a multiple of {KSEG}")
+    if nseqs % (SUB * 128):
+        raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
+    if qlen_pad % RU:
+        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of RU={RU}")
+    nl = nseqs // SUB
+    nblocks = L // KSEG
+    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+    start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
+
+    kernel = functools.partial(
+        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp,
+        carry=True)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nq, nblocks),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # carry state stays in HBM; the kernel DMAs it into the same
+            # VMEM scratch the non-carry kernel zero-initializes
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
+            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    out, h2, e2, s2 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, qlen_pad, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, qlen_pad, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qcodes, qlens, matrix8, db8, start32, h, e, s)
+    return out.reshape(nq, nblocks, nseqs), h2, e2, s2
+
+
 @jax.jit
 def gather_scores(out: jax.Array, end_block: jax.Array, lane: jax.Array
                   ) -> jax.Array:
@@ -279,28 +444,23 @@ def gather_scores(out: jax.Array, end_block: jax.Array, lane: jax.Array
     return out[:, end_block, lane]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("gapopenextend", "gapextend", "clamp"),
-)
-def sw_scores_stream_lax(qcodes: jax.Array, qlens: jax.Array,
-                         matrix8: jax.Array, db: jax.Array,
-                         start: jax.Array, *,
-                         gapopenextend: int, gapextend: int,
-                         clamp: int | None = None) -> jax.Array:
-    """Pure-JAX (lax.scan) twin of sw_scores_stream: same contract, any
-    backend.  The cross-check oracle for the Pallas stream kernel and the
-    CPU fallback scoring path for lane-packed chunks."""
+def _stream_lax_core(qcodes, qlens, matrix, db, start, h0, e0, s0, *,
+                     gapopenextend: int, gapextend: int,
+                     clamp: int | None):
+    """Shared lax.scan implementation: returns (dumps, h, e, s)."""
     nq, qlen_pad = qcodes.shape
     L, nseqs = db.shape
     Q, R = gapopenextend, gapextend
     nblocks = L // KSEG
-    prof = matrix8.astype(jnp.int32)                      # [32, 32]
+    prof = matrix.astype(jnp.int32)                       # [32, 32]
+    # the pad penalty must be strictly negative so H decays through
+    # padding/overhang rows; for int8 matrices this is -128 (build_matrix8)
+    pad_pen = jnp.minimum(jnp.min(prof), -1)
     dbb = db.astype(jnp.int32).reshape(nblocks, KSEG, nseqs)
     startb = (start != 0).reshape(nblocks, nseqs)
     iota_q = jnp.arange(qlen_pad, dtype=jnp.int32)[:, None]
 
-    def one_query(qc, ql):
+    def one_query(qc, ql, h0, e0, s0):
         qprof = prof[qc]                                  # [QLEN, 32]
         qmask = iota_q < ql                               # [QLEN, 1]
 
@@ -313,7 +473,7 @@ def sw_scores_stream_lax(qcodes: jax.Array, qlens: jax.Array,
 
             def column(st, dj):
                 h, e, s = st
-                p = jnp.where(qmask, qprof[:, dj], -128)  # [QLEN, NSEQS]
+                p = jnp.where(qmask, qprof[:, dj], pad_pen)
                 e = jnp.maximum(e - R, h - Q)
                 hd = jnp.concatenate(
                     [jnp.zeros((1, nseqs), jnp.int32), h[:-1, :]], axis=0)
@@ -333,14 +493,62 @@ def sw_scores_stream_lax(qcodes: jax.Array, qlens: jax.Array,
             (h, e, s), _ = jax.lax.scan(column, (h, e, s), cols)
             return (h, e, s), s
 
-        zvar = dbb[0, 0, 0] * 0 + qprof[0, 0] * 0
-        init = (jnp.zeros((qlen_pad, nseqs), jnp.int32) + zvar,
-                jnp.full((qlen_pad, nseqs), NEG_INF, jnp.int32) + zvar,
-                jnp.zeros((nseqs,), jnp.int32) + zvar)
-        _, dumps = jax.lax.scan(block, init, (dbb, startb))
-        return dumps                                      # [nblocks, NSEQS]
+        (h, e, s), dumps = jax.lax.scan(block, (h0, e0, s0), (dbb, startb))
+        return dumps, h, e, s                             # [nblocks, NSEQS]
 
-    return jax.vmap(one_query)(qcodes, qlens)
+    return jax.vmap(one_query)(qcodes, qlens, h0, e0, s0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "clamp"),
+)
+def sw_scores_stream_lax(qcodes: jax.Array, qlens: jax.Array,
+                         matrix8: jax.Array, db: jax.Array,
+                         start: jax.Array, *,
+                         gapopenextend: int, gapextend: int,
+                         clamp: int | None = None) -> jax.Array:
+    """Pure-JAX (lax.scan) twin of sw_scores_stream: same contract, any
+    backend.  The cross-check oracle for the Pallas stream kernel and the
+    CPU fallback scoring path for lane-packed chunks."""
+    nq, qlen_pad = qcodes.shape
+    _, nseqs = db.shape
+    zvar = db[0, 0].astype(jnp.int32) * 0 + matrix8[0, 0].astype(jnp.int32) * 0
+    h0 = jnp.zeros((nq, qlen_pad, nseqs), jnp.int32) + zvar
+    e0 = jnp.full((nq, qlen_pad, nseqs), NEG_INF, jnp.int32) + zvar
+    s0 = jnp.zeros((nq, nseqs), jnp.int32) + zvar
+    dumps, _, _, _ = _stream_lax_core(
+        qcodes, qlens, matrix8, db, start, h0, e0, s0,
+        gapopenextend=gapopenextend, gapextend=gapextend, clamp=clamp)
+    return dumps
+
+
+def make_stream_state_lax(nq: int, qlen_pad: int, nseqs: int):
+    """Fresh (h, e, s) carry state in the lax twin's [QLEN, NSEQS] layout
+    (reshape of the kernel layout: lane i <-> (i // nl, i % nl))."""
+    return (jnp.zeros((nq, qlen_pad, nseqs), jnp.int32),
+            jnp.full((nq, qlen_pad, nseqs), NEG_INF, jnp.int32),
+            jnp.zeros((nq, nseqs), jnp.int32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "clamp"),
+)
+def sw_scores_stream_lax_carry(qcodes: jax.Array, qlens: jax.Array,
+                               matrix: jax.Array, db: jax.Array,
+                               start: jax.Array, h: jax.Array,
+                               e: jax.Array, s: jax.Array, *,
+                               gapopenextend: int, gapextend: int,
+                               clamp: int | None = None):
+    """Any-backend twin of sw_scores_stream_carry (same contract, lax
+    layout [NQ, QLEN, NSEQS]).  Unlike the int8-only Pallas kernel it
+    accepts any integer score matrix, so it also serves as the giant-
+    sequence fallback for matrices outside int8 range."""
+    dumps, h2, e2, s2 = _stream_lax_core(
+        qcodes, qlens, matrix, db, start, h, e, s,
+        gapopenextend=gapopenextend, gapextend=gapextend, clamp=clamp)
+    return dumps, h2, e2, s2
 
 
 def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,

@@ -208,8 +208,14 @@ class SearchEngine:
         self.unit_meta = np.array(
             [(u.seqno, u.dstrand, u.dframe) for u in units], dtype=np.int64
         ).reshape(len(units), 3)
-        unit_ids = np.arange(len(units), dtype=np.int64)
         self._max_cols = max_cols
+        # units longer than one chunk would stretch the whole pack to
+        # nseqs x their length; they go to the carry series instead
+        # (pack_stream_carry), which bounds every chunk at nseqs x max_cols
+        lens = np.array([len(s) for s in self._unit_seqs], dtype=np.int64)
+        self._giant_ids = np.nonzero(lens > max_cols)[0].astype(np.int64)
+        self._normal_ids = np.nonzero(lens <= max_cols)[0].astype(np.int64)
+        self._carry_packs: dict[int, list] = {}
         self._stream_packs: dict[int, list] = {}
         self._dev_stream: dict[int, list] = {}
         if self.backend in ("stream", "stream_interpret"):
@@ -217,8 +223,8 @@ class SearchEngine:
             self._seg_chunks = None
         else:
             self.chunks = pack_database(
-                self._unit_seqs, nseqs=nseqs, max_cols=max_cols,
-                seqnos=unit_ids)
+                [self._unit_seqs[i] for i in self._normal_ids],
+                nseqs=nseqs, max_cols=max_cols, seqnos=self._normal_ids)
             self._seg_chunks = self.chunks
 
     @property
@@ -231,21 +237,37 @@ class SearchEngine:
     LONG_MAX_COLS = 16384
 
     def _stream_chunks(self, nseqs: int, max_cols: int | None = None):
-        """Lane-packed chunks for the stream kernel at a lane count."""
+        """Lane-packed chunks for the stream kernel at a lane count
+        (giant units excluded — they score via the carry series)."""
         key = (nseqs, max_cols or self._max_cols)
         if key not in self._stream_packs:
             self._stream_packs[key] = pack_stream(
-                self._unit_seqs, nseqs=key[0], max_cols=key[1],
-                seqnos=np.arange(len(self._unit_seqs), dtype=np.int64))
+                [self._unit_seqs[i] for i in self._normal_ids],
+                nseqs=key[0], max_cols=key[1], seqnos=self._normal_ids)
         return self._stream_packs[key]
 
     def _segment_chunks(self) -> list[PackedChunk]:
         """Segment-packed chunks for the fallback path (built lazily)."""
         if self._seg_chunks is None:
             self._seg_chunks = pack_database(
-                self._unit_seqs, nseqs=512, max_cols=16384,
-                seqnos=np.arange(len(self._unit_seqs), dtype=np.int64))
+                [self._unit_seqs[i] for i in self._normal_ids],
+                nseqs=512, max_cols=16384, seqnos=self._normal_ids)
         return self._seg_chunks
+
+    def _carry_chunks(self, nseqs: int):
+        """Carry-series chunks for chromosome-scale units (built lazily).
+
+        The series streams each giant unit through bounded fixed-height
+        chunks with H/E/S carried between them — the TPU equivalent of
+        the reference's O(qlen)-state unbounded db streaming
+        (search7.cc:787, database.cc:1082-1131)."""
+        from .batching import pack_stream_carry
+        if nseqs not in self._carry_packs:
+            self._carry_packs[nseqs] = pack_stream_carry(
+                [self._unit_seqs[i] for i in self._giant_ids],
+                nseqs=nseqs, max_cols=self._max_cols,
+                seqnos=self._giant_ids)
+        return self._carry_packs[nseqs]
 
     # ---- scoring ------------------------------------------------------------
 
@@ -494,6 +516,73 @@ class SearchEngine:
                 drain(pending.pop(0))
         for item in pending:
             drain(item)
+        # chromosome-scale units stream through the bounded carry series;
+        # queries beyond one VMEM tile (long) fall back to the lax twin
+        self._score_carry_series(
+            slots, qlen_pad, timings,
+            kind="lax" if long else
+            ("stream_interpret" if interpret else "stream"))
+
+    def _score_carry_series(self, slots, qlen_pad, timings, *, kind):
+        """Score the giant units against all slots via the carry series.
+
+        Each chunk of the series is one kernel call; the per-lane DP
+        state (H/E rows + running S) flows chunk to chunk on device, so a
+        100 Mbp sequence runs in nseqs x max_cols memory — the transpose
+        of sw_scores_stream_long's query tiling, matching the reference's
+        unbounded-db-length semantics (search7.cc:787)."""
+        if self._giant_ids.size == 0:
+            return
+        import jax.numpy as jnp
+
+        from .ops.sw_stream import (build_matrix8, build_matrix_wide,
+                                    build_qcodes, gather_scores,
+                                    make_stream_state, make_stream_state_lax,
+                                    sw_scores_stream_carry,
+                                    sw_scores_stream_lax_carry)
+        p = self.params
+        use_pallas = (kind in ("stream", "stream_interpret")
+                      and self.matrix.fits_int8 and qlen_pad <= 1024)
+        # chunks come back compact (only the lanes that hold data); the
+        # pallas wrapper PAD-expands to its 1024-lane minimum on device,
+        # the lax twin runs at the compact width directly
+        chunks = self._carry_chunks(1024)
+        if not chunks:
+            return
+        nseqs = 1024 if use_pallas else chunks[0].nseqs
+        qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
+        qc, ql = jnp.asarray(qc), jnp.asarray(ql)
+        if self.matrix.fits_int8:
+            mat = jnp.asarray(build_matrix8(self.matrix.matrix))
+        else:
+            mat = jnp.asarray(build_matrix_wide(self.matrix.matrix))
+        nq = len(slots)
+        if use_pallas:
+            h, e, s = make_stream_state(nq, qlen_pad, nseqs)
+        else:
+            h, e, s = make_stream_state_lax(nq, qlen_pad, nseqs)
+        pending = []
+        for ch in chunks:
+            data = jnp.asarray(ch.data_t).T
+            startd = jnp.asarray(ch.start)
+            if use_pallas:
+                out, h, e, s = sw_scores_stream_carry(
+                    qc, ql, mat, data, startd, h, e, s,
+                    gapopenextend=p.gapopenextend, gapextend=p.gapextend,
+                    interpret=(kind == "stream_interpret"))
+            else:
+                out, h, e, s = sw_scores_stream_lax_carry(
+                    qc, ql, mat, data, startd, h, e, s,
+                    gapopenextend=p.gapopenextend, gapextend=p.gapextend)
+            if len(ch.seqnos):
+                sc = gather_scores(out, jnp.asarray(ch.end_block),
+                                   jnp.asarray(ch.lane))
+                pending.append((ch.seqnos, sc))
+            if len(pending) >= self.CHUNK_WINDOW:
+                units, sc = pending.pop(0)
+                self._enter_chunk(slots, units, sc, False, timings)
+        for units, sc in pending:
+            self._enter_chunk(slots, units, sc, False, timings)
 
     def _enter_chunk(self, slots, units, payload, reduced, timings):
         if reduced:
@@ -548,3 +637,4 @@ class SearchEngine:
                 hits.enter_batch(meta[:, 0], flat, qstrand, qframe,
                                  meta[:, 1], meta[:, 2])
             self._count_tiers(timings, np.stack(flats), len(slots))
+        self._score_carry_series(slots, qlen_pad, timings, kind="lax")

@@ -309,6 +309,48 @@ def _first_diff(a: str, b: str, n: int = 6):
     return out
 
 
+def test_golden_long_db_sequence(ref_swipe, tmp_path):
+    """Chromosome-scale db sequences: a 60 kb member exceeds the engine's
+    chunk budget and streams through the carry series
+    (batching.pack_stream_carry); output must stay byte-identical for
+    blastn and tblastn (the reference streams unbounded db sequences with
+    O(qlen) state, search7.cc:787)."""
+    rng = np.random.default_rng(44)
+    NT = list("ACGT")
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    qn = "".join(rng.choice(NT, 90))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    qrc = "".join(comp[c] for c in reversed(qn))
+    giant = ("".join(rng.choice(NT, 30000)) + qn
+             + "".join(rng.choice(NT, 20000)) + qrc
+             + "".join(rng.choice(NT, 10000)))
+    seqs, descs = [], []
+    for i in range(10):
+        seqs.append(encode("".join(rng.choice(NT,
+                                              int(rng.integers(50, 200)))),
+                           MAP_NCBI_NT16))
+        descs.append(f"short{i} small nt {i}")
+    seqs.append(encode(giant, MAP_NCBI_NT16))
+    descs.append("chr1 long synthetic sequence")
+    write_blastdb(str(tmp_path / "longdb"), seqs, make_deflines(descs), "nt",
+                  title="long-seq golden db", date="Jan 1, 2026  12:00 AM")
+    (tmp_path / "qn.fa").write_text(f">qlong nt query\n{qn}\n")
+    qp = "".join(rng.choice(AAl, 60))
+    (tmp_path / "qp.fa").write_text(f">qlongp aa query\n{qp}\n")
+    for args in (["-p", "blastn", "-m", "9", "-i", str(tmp_path / "qn.fa")],
+                 ["-p", "blastn", "-m", "0", "-b", "3",
+                  "-i", str(tmp_path / "qn.fa")],
+                 ["-p", "tblastn", "-m", "9", "-e", "1000",
+                  "-i", str(tmp_path / "qp.fa")]):
+        full = args + ["-d", str(tmp_path / "longdb")]
+        ref_out = _normalize(run_ref(ref_swipe, full))
+        our_out = _normalize(run_ours(full))
+        assert "chr1" in our_out
+        assert our_out == ref_out, (
+            f"long-seq mismatch for {args}\n"
+            + "\n".join(_first_diff(ref_out, our_out)))
+
+
 def test_golden_asymmetric_matrix(ref_swipe, dbs, tmp_path):
     """Custom asymmetric -M files: the reference scores
     matrix[db_row][query_col] (align.cc:86), so the parsed file must be

@@ -503,6 +503,90 @@ def test_device_topk_tie_membership_translated():
            [(h.seqno, h.score, h.dstrand, h.dframe) for h in ref.hits]
 
 
+@pytest.mark.parametrize("backend", ["stream_interpret", "lax"])
+def test_engine_giant_sequences(backend):
+    # db sequences longer than one chunk stream through the bounded carry
+    # series (chromosome-scale capability); scores and the align phase
+    # must match the oracle exactly
+    rng = np.random.default_rng(31)
+    parts = []
+    for i in range(30):
+        parts.append((f"s{i} normal {i}",
+                      "".join(rng.choice(list(AA),
+                                         int(rng.integers(30, 120))))))
+    q = "".join(rng.choice(list(AA), 45))
+    parts.append(("s30 giant plain",
+                  "".join(rng.choice(list(AA), 5000))))
+    parts.append(("s31 giant with planted hit",
+                  "".join(rng.choice(list(AA), 6500)) + q
+                  + "".join(rng.choice(list(AA), 90))))
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="giantdb")
+    query = preprocess_query("q", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=40, alignments=3, expect=1e9)
+    eng = SearchEngine(db, params, backend=backend, max_cols=2048)
+    assert eng._giant_ids.size == 2
+    hits = eng.search(query)
+    seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(len(parts))]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    for h in hits.hits:
+        assert h.score == want[h.seqno]
+    assert hits.hits[0].seqno == 31          # the planted giant wins
+    assert hits.hits[0].alignment            # align phase ran on the giant
+
+
+def test_engine_all_units_giant():
+    # a db of ONLY chromosome-scale sequences: the normal pack is empty
+    # and everything flows through the carry series
+    rng = np.random.default_rng(32)
+    q = "".join(rng.choice(list(AA), 40))
+    parts = [(f"g{i} giant {i}",
+              "".join(rng.choice(list(AA), 3000 + 500 * i)))
+             for i in range(3)]
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="allgiant")
+    query = preprocess_query("q", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=5, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret",
+                       max_cols=2048)
+    assert eng._giant_ids.size == 3 and eng._normal_ids.size == 0
+    hits = eng.search(query)
+    seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(3)]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    assert {h.seqno: h.score for h in hits.hits} == \
+           {i: int(want[i]) for i in range(3) if want[i] >= 1}
+
+
+def test_engine_giant_blastn_both_strands():
+    # blastn: both strand units of a giant nucleotide sequence go carry
+    rng = np.random.default_rng(33)
+    q = "".join(rng.choice(list(NT), 60))
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    qrc = "".join(comp[c] for c in reversed(q))
+    giant = ("".join(rng.choice(list(NT), 4000)) + qrc
+             + "".join(rng.choice(list(NT), 200)))
+    parts = [(f"n{i} nt {i}",
+              "".join(rng.choice(list(NT), int(rng.integers(40, 150)))))
+             for i in range(12)] + [("n12 giant rc-planted", giant)]
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "nt", title="giantnt")
+    query = preprocess_query("q", q, 0, 3)
+    params = SearchParams(symtype=0, matchscore=1, mismatchscore=-3,
+                          gapopen=5, gapextend=2, descriptions=13,
+                          alignments=2, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret",
+                       max_cols=1024)
+    # blastn strand variants live on the QUERY axis (swipe.cc:1468);
+    # the db contributes one unit per sequence
+    assert eng._giant_ids.size == 1
+    hits = eng.search(query)
+    top = hits.hits[0]
+    assert top.seqno == 12 and top.dstrand == 1
+    assert top.score == 60            # perfect reverse-complement match
+
+
 def test_hitlist_candidate_compaction():
     # stats-unavailable mode admits nearly every sequence; the candidate
     # buffer must stay bounded and still produce the exact final list

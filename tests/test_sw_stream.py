@@ -183,6 +183,103 @@ def test_all_kernels_agree_randomized(m62):
                         assert (out[:, k, lane] == want[:, sn]).all(), seed
 
 
+def test_pack_stream_carry_bounds_and_coverage():
+    # every chunk footprint <= nseqs x max_cols regardless of member
+    # length; every sequence ends exactly once; cuts at block multiples
+    from swipe_tpu.batching import pack_stream_carry
+    rng = np.random.default_rng(21)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in [40000, 9000] + list(rng.integers(1, 300, size=500))]
+    chunks = pack_stream_carry(seqs, nseqs=64, max_cols=1024)
+    assert all(c.data_t.shape[1] <= 1024 for c in chunks[:-1])
+    assert all(c.data_t.shape[0] == 64 for c in chunks)
+    ends = np.concatenate([c.seqnos for c in chunks if len(c.seqnos)])
+    assert sorted(ends.tolist()) == list(range(len(seqs)))
+    # total start marks == number of sequences (each starts exactly once)
+    assert sum(int(c.start.sum()) for c in chunks) == len(seqs)
+    # residues conserved across pieces
+    assert sum(c.residues for c in chunks) == sum(len(s) for s in seqs)
+
+
+def test_stream_carry_matches_oracle(m62):
+    # sequences cut across many carry chunks must score exactly like the
+    # uncut oracle, through both the pallas (interpret) and lax twins
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream_carry
+    from swipe_tpu.ops.sw_stream import (make_stream_state,
+                                         make_stream_state_lax,
+                                         sw_scores_stream_carry,
+                                         sw_scores_stream_lax_carry)
+    rng = np.random.default_rng(22)
+    queries = _rand_seqs(rng, 2, 20, 60)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in [1500, 700] + list(rng.integers(1, 120, size=600))]
+    chunks = pack_stream_carry(seqs, nseqs=1024, max_cols=256)
+    assert len(chunks) >= 4   # giants must span several chunks
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    qc, ql = build_qcodes(queries, 64)
+    m8 = build_matrix8(m62.matrix)
+
+    h, e, s = make_stream_state(2, 64, 1024)
+    got = np.zeros((2, len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        out, h, e, s = sw_scores_stream_carry(
+            qc, ql, m8, ch.data, ch.start, h, e, s,
+            gapopenextend=12, gapextend=1, interpret=True)
+        if len(ch.seqnos):
+            got[:, ch.seqnos] = np.asarray(
+                gather_scores(out, ch.end_block, ch.lane))
+    assert np.array_equal(got, want)
+
+    # lax twin runs at the compact chunk width directly
+    h, e, s = make_stream_state_lax(2, 64, chunks[0].nseqs)
+    got = np.zeros((2, len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        dumps, h, e, s = sw_scores_stream_lax_carry(
+            jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(m8),
+            jnp.asarray(ch.data), jnp.asarray(ch.start), h, e, s,
+            gapopenextend=12, gapextend=1)
+        if len(ch.seqnos):
+            got[:, ch.seqnos] = np.asarray(
+                gather_scores(dumps, ch.end_block, ch.lane))
+    assert np.array_equal(got, want)
+
+
+def test_stream_carry_wide_matrix_lax():
+    # non-int8 matrices route through build_matrix_wide + the lax twin
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream_carry
+    from swipe_tpu.matrices import ScoreMatrix
+    from swipe_tpu.ops.sw_stream import (build_matrix_wide,
+                                         make_stream_state_lax,
+                                         sw_scores_stream_lax_carry)
+    m = ScoreMatrix.nucleotide(200, -300, 400, 200)
+    rng = np.random.default_rng(23)
+    # nt16 codes 1..15
+    queries = [rng.integers(1, 15, size=30, dtype=np.int8)]
+    seqs = [rng.integers(1, 15, size=int(L), dtype=np.int8)
+            for L in (900, 50, 70)]
+    chunks = pack_stream_carry(seqs, nseqs=8, max_cols=256)
+    want = np.stack([sw_numpy_many(q, seqs, m.matrix, 400, 200)
+                     for q in queries])
+    qc, ql = build_qcodes(queries, 32)
+    mw = build_matrix_wide(m.matrix)
+    h, e, s = make_stream_state_lax(1, 32, chunks[0].nseqs)
+    got = np.zeros((1, len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        dumps, h, e, s = sw_scores_stream_lax_carry(
+            jnp.asarray(qc), jnp.asarray(ql), jnp.asarray(mw),
+            jnp.asarray(ch.data), jnp.asarray(ch.start), h, e, s,
+            gapopenextend=600, gapextend=200)
+        if len(ch.seqnos):
+            got[:, ch.seqnos] = np.asarray(
+                gather_scores(dumps, ch.end_block, ch.lane))
+    assert np.array_equal(got, want)
+
+
 def test_pack_stream_oversized_sequence(m62):
     # one sequence longer than max_cols becomes its own oversized chunk
     # and still scores exactly
