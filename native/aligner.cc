@@ -1,89 +1,164 @@
 // swipe-tpu native runtime: gapped local-alignment traceback.
 //
-// C implementation of the host-side align phase used by swipe_tpu.align
-// (ctypes binding in swipe_tpu/native.py).  Semantics are specified by the
-// NumPy reference implementation in swipe_tpu/align.py and match the
-// reference engine's aligner (Huang/Hardison/Miller region search +
-// Myers/Miller linear-space traceback, see /root/reference/align.cc):
-//   - forward pass: first strict maximum in (i asc, j asc) scan order
-//   - reverse pass: -1 sentinels; stops at the first cell in (i desc,
-//     j desc) order whose reverse score reaches the target
-//   - join: HH+XX first strict max, then EE+YY+q last max with >=
+// C++ port of the vector-row formulation specified by the NumPy
+// implementation in swipe_tpu/align.py (which is the semantic contract;
+// behavioral parity target: the reference engine's Huang/Hardison/Miller
+// region search + Myers/Miller linear-space traceback).  Every DP pass is
+// expressed as whole-row updates over reusable buffers:
 //
-// Exported C ABI:
+//   E'        = max(E, H - q) - r                       (db-gap chain)
+//   hnof      = max(diag + score, E'[, 0])              (f-free H)
+//   A         = prefix-max(hnof[k] + k*r)               (weighted scan)
+//   f[j]      = max(A[j-1] - q - j*r, base - j*r)       (query-gap chain)
+//   H'        = max(hnof, f)
+//
+// The prefix-max resolution of the in-row gap chain is exact because
+// opening a gap from a gap-derived cell can never beat extending (q >= 0)
+// — the same argument swipe_tpu/ops/sw_ref.py relies on.
+//
+// Tie rules carried over from align.py (and golden-verified against the
+// reference binary):
+//   - forward pass: first strict maximum in (i asc, j asc) scan order
+//   - reverse pass: -1 sentinels; first cell in (i desc, j desc) order
+//     whose reverse score reaches max(score, 1)
+//   - join: first max of fwd[j] + rev[N-j]; then the gap-crossing
+//     E-join with >= (last max wins)
+//
+// Exported C ABI (unchanged; ctypes binding in swipe_tpu/native.py):
 //   long swtpu_align(const int8_t* a, long M, const int8_t* b, long N,
 //                    const long* matrix32x32, long q, long r, long hint,
 //                    long* coords /* score, ab, bb, ae, be */,
 //                    char* ops, long ops_cap);
 // Returns 0 on success, -1 on internal error, -2 if ops buffer too small.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
-#include <cstdlib>
-#include <cstring>
 #include <vector>
 
 namespace {
 
-constexpr long kSentinel = -1;
+constexpr long kSentinel = -1;  // align.py _SENTINEL (reference uses -1)
 
-struct OpsBuf {
-  char* buf;
+inline long matval(const long* mat, int8_t qa, int8_t db) {
+  return mat[((long)qa << 5) | (long)db];
+}
+
+// Run-length op-string builder: M=match/mismatch, D=query-vs-gap,
+// I=gap-vs-db (align.py _Ops).
+struct OpString {
+  char* out;
   long cap;
   long len = 0;
-  char op = 0;
-  long count = 0;
+  char cur = 0;
+  long run = 0;
   bool overflow = false;
 
-  void push() {
-    if (count <= 0) return;
-    int n = snprintf(buf + len, cap - len, "%c%ld", op, count);
-    if (n < 0 || n >= cap - len) {
-      overflow = true;
-    } else {
-      len += n;
-    }
+  void flush() {
+    if (run <= 0) return;
+    int n = snprintf(out + len, cap - len, "%c%ld", cur, run);
+    if (n < 0 || n >= cap - len) overflow = true;
+    else len += n;
   }
-  void add(char o, long c) {
-    if (c <= 0) return;
-    if (op == o) {
-      count += c;
+  void add(char op, long count) {
+    if (count <= 0) return;
+    if (cur == op) {
+      run += count;
     } else {
-      push();
-      op = o;
-      count = c;
+      flush();
+      cur = op;
+      run = count;
     }
   }
 };
 
-inline long smax(long a, long b) { return a > b ? a : b; }
+// Scratch rows shared by all passes of one alignment (sized to the widest
+// row once, so the recursion never reallocates).
+struct Rows {
+  std::vector<long> enew, hnof, acc;
+  void reserve(size_t n) {
+    enew.resize(n);
+    hnof.resize(n);
+    acc.resize(n);
+  }
+};
 
-inline long score_at(const long* mat, int8_t qa, int8_t db) {
-  return mat[((int)qa << 5) + (int)db];
+// ---- local rows (region search) -------------------------------------------
+
+// One forward local-DP row (align.py _row_forward, floor_zero=true,
+// h0 = 0, f_init = -q).  H and E are updated in place (length N).
+void row_forward(std::vector<long>& H, std::vector<long>& E, const long* qrow,
+                 const int8_t* b, long N, long q, long r, Rows& w) {
+  long* enew = w.enew.data();
+  long* hnof = w.hnof.data();
+  long* acc = w.acc.data();
+  long diag = 0;  // entering h0
+  for (long j = 0; j < N; j++) {
+    enew[j] = std::max(E[j], H[j] - q) - r;
+    long v = std::max(diag + qrow[b[j]], (long)0);
+    diag = H[j];
+    hnof[j] = std::max(v, enew[j]);
+  }
+  long run = hnof[0];  // prefix max of hnof[k] + k*r
+  acc[0] = run;
+  for (long j = 1; j < N; j++) {
+    run = std::max(run, hnof[j] + j * r);
+    acc[j] = run;
+  }
+  const long base = std::max(-q, 0 - q) - r;  // f at column 0
+  H[0] = std::max(hnof[0], base);
+  for (long j = 1; j < N; j++) {
+    long f = std::max(acc[j - 1] - q - j * r, base - j * r);
+    H[j] = std::max(hnof[j], f);
+  }
+  std::copy(enew, enew + N, E.begin());
 }
 
-// Forward endpoint search: first strict max in (i asc, j asc) order.
+// One reverse local-DP row over the reversed db prefix (align.py
+// _row_reverse: no zero floor, -1 sentinels; h0 is 0 only on the a_end
+// row).  H and E are length N = be + 1.
+void row_reverse(std::vector<long>& H, std::vector<long>& E, const long* qrow,
+                 const int8_t* brev, long N, long q, long r, long h0,
+                 Rows& w) {
+  long* enew = w.enew.data();
+  long* hnof = w.hnof.data();
+  long* acc = w.acc.data();
+  long diag = h0;
+  for (long j = 0; j < N; j++) {
+    enew[j] = std::max(E[j], H[j] - q) - r;
+    long v = diag + qrow[brev[j]];
+    diag = H[j];
+    hnof[j] = std::max(v, enew[j]);
+  }
+  long run = hnof[0];
+  acc[0] = run;
+  for (long j = 1; j < N; j++) {
+    run = std::max(run, hnof[j] + j * r);
+    acc[j] = run;
+  }
+  const long base = std::max(kSentinel, kSentinel - q) - r;
+  H[0] = std::max(hnof[0], base);
+  for (long j = 1; j < N; j++) {
+    long f = std::max(acc[j - 1] - q - j * r, base - j * r);
+    H[j] = std::max(hnof[j], f);
+  }
+  std::copy(enew, enew + N, E.begin());
+}
+
+// Forward endpoint search (align.py region): first strict improvement in
+// (i asc, j asc) order.
 void region_forward(const int8_t* a, const int8_t* b, long M, long N,
                     const long* mat, long q, long r, long* score_out,
-                    long* ae, long* be) {
-  std::vector<long> HH(N, 0), EE(N, -q);
+                    long* ae, long* be, Rows& w) {
+  std::vector<long> H(N, 0), E(N, -q);
   long score = 0;
   *ae = 0;
   *be = 0;
   for (long i = 0; i < M; i++) {
-    long h = 0, p = 0, f = -q;
-    const int8_t ai = a[i];
+    row_forward(H, E, mat + ((long)a[i] << 5), b, N, q, r, w);
     for (long j = 0; j < N; j++) {
-      f = smax(f, h - q) - r;
-      EE[j] = smax(EE[j], HH[j] - q) - r;
-      h = p + score_at(mat, ai, b[j]);
-      if (h < 0) h = 0;
-      if (f > h) h = f;
-      if (EE[j] > h) h = EE[j];
-      p = HH[j];
-      HH[j] = h;
-      if (h > score) {
-        score = h;
+      if (H[j] > score) {  // strict: first (i, j) max wins
+        score = H[j];
         *ae = i;
         *be = j;
       }
@@ -92,40 +167,78 @@ void region_forward(const int8_t* a, const int8_t* b, long M, long N,
   *score_out = score;
 }
 
-// Reverse start-point search from (ae, be); first cell reaching score in
-// (i desc, j desc) order.  Returns 0 on success, -1 if unreachable.
+// Reverse start-point search (align.py region_reverse): walk the reversed
+// db prefix, stop at the first row whose H reaches max(score, 1); the
+// first reversed column hit = the largest original j.
 int region_reverse(const int8_t* a, const int8_t* b, const long* mat, long q,
-                   long r, long score, long ae, long be, long* ab, long* bb) {
-  long n = be + 1;
-  std::vector<long> HH(n, kSentinel), EE(n, kSentinel);
-  long cost = 0;
+                   long r, long score, long ae, long be, long* ab, long* bb,
+                   Rows& w) {
+  const long n = be + 1;
+  std::vector<long> H(n, kSentinel), E(n, kSentinel);
+  std::vector<int8_t> brev(n);
+  for (long j = 0; j < n; j++) brev[j] = b[be - j];
+  const long target = std::max(score, (long)1);
   for (long i = ae; i >= 0; i--) {
-    long h = kSentinel, f = kSentinel;
-    long p = (i == ae) ? 0 : kSentinel;
-    const int8_t ai = a[i];
-    for (long j = be; j >= 0; j--) {
-      f = smax(f, h - q) - r;
-      EE[j] = smax(EE[j], HH[j] - q) - r;
-      h = p + score_at(mat, ai, b[j]);
-      if (f > h) h = f;
-      if (EE[j] > h) h = EE[j];
-      p = HH[j];
-      HH[j] = h;
-      if (h > cost) {
-        cost = h;
+    row_reverse(H, E, mat + ((long)a[i] << 5), brev.data(), n, q, r,
+                i == ae ? 0 : kSentinel, w);
+    for (long jr = 0; jr < n; jr++) {
+      if (H[jr] >= target) {
         *ab = i;
-        *bb = j;
-        if (cost >= score) return 0;
+        *bb = be - jr;
+        return 0;
       }
     }
   }
   return -1;
 }
 
-// Myers-Miller divide and conquer over a[a0..a0+M) x b[b0..b0+N).
-void mm_diff(OpsBuf& ops, const int8_t* a, const int8_t* b, long M, long N,
-             long a0, long b0, const long* mat, long q, long r, long tb,
-             long te) {
+// ---- global rows (Myers-Miller) -------------------------------------------
+
+// One global (no-floor) DP row of length N+1 (align.py _global_row);
+// t is this row's column-0 boundary value.
+void global_row(std::vector<long>& H, std::vector<long>& E, const long* qrow,
+                const int8_t* b, long N, long q, long r, long t, Rows& w) {
+  long* enew = w.enew.data();
+  long* hnof = w.hnof.data();
+  long* acc = w.acc.data();
+  for (long j = 0; j < N; j++) {
+    enew[j] = std::max(E[j + 1], H[j + 1] - q) - r;
+    hnof[j] = std::max(H[j] + qrow[b[j]], enew[j]);
+  }
+  long run = hnof[0];
+  acc[0] = run;
+  for (long j = 1; j < N; j++) {
+    run = std::max(run, hnof[j] + j * r);
+    acc[j] = run;
+  }
+  const long base = t - q;  // boundary gap chain entering column 1
+  H[0] = t;
+  H[1] = std::max(hnof[0], base - r);
+  for (long j = 1; j < N; j++) {
+    long f = std::max(acc[j - 1] - q - j * r, base - r - j * r);
+    H[j + 1] = std::max(hnof[j], f);
+  }
+  std::copy(enew, enew + N, E.begin() + 1);
+}
+
+// Initialize a global pass boundary row: H = [0, -q-r, -q-2r, ...],
+// E = H - q (align.py _diff's HH/EE and XX/YY initialization).
+void global_init(std::vector<long>& H, std::vector<long>& E, long N, long q,
+                 long r) {
+  H[0] = 0;
+  for (long j = 1; j <= N; j++) {
+    H[j] = -q - r * j;
+    E[j] = H[j] - q;
+  }
+  E[0] = 0;  // set to H[0] by the caller after the pass
+}
+
+// Myers-Miller divide and conquer over a[a0 .. a0+M) x b[b0 .. b0+N)
+// (align.py _diff).  tb/te are the gap-open penalties applying at the
+// left/right boundaries (0 when a gap is already open across the split).
+void mm_split(OpString& ops, const int8_t* a, const int8_t* b, long M, long N,
+              long a0, long b0, const long* mat, long q, long r, long tb,
+              long te, Rows& w) {
   if (N == 0) {
     if (M > 0) ops.add('D', M);
     return;
@@ -135,6 +248,8 @@ void mm_diff(OpsBuf& ops, const int8_t* a, const int8_t* b, long M, long N,
     return;
   }
   if (M == 1) {
+    // single query char vs N db chars: either it pairs with some b[J]
+    // (I J, M 1, I N-1-J) or it sits in a gap (J = -1 / N sentinels)
     long best, J;
     if (tb <= te) {
       best = -tb - (1 + N) * r - q;
@@ -143,8 +258,10 @@ void mm_diff(OpsBuf& ops, const int8_t* a, const int8_t* b, long M, long N,
       best = -q - (1 + N) * r - te;
       J = N;
     }
+    const long* qrow = mat + ((long)a[a0] << 5);
+    const long rbase = r * (N - 1);
     for (long j = 0; j < N; j++) {
-      long sc = score_at(mat, a[a0], b[b0 + j]) - r * (N - 1);
+      long sc = qrow[b[b0 + j]] - rbase;
       if (j > 0) sc -= q;
       if (j < N - 1) sc -= q;
       if (sc > best) {
@@ -167,97 +284,65 @@ void mm_diff(OpsBuf& ops, const int8_t* a, const int8_t* b, long M, long N,
   }
 
   const long I = M / 2;
-  std::vector<long> HH(N + 1), EE(N + 1), XX(N + 1), YY(N + 1);
 
-  // forward global pass (rows a0..a0+I-1, left boundary open penalty tb)
-  HH[0] = 0;
-  {
-    long t = -q;
-    for (long j = 1; j <= N; j++) {
-      t -= r;
-      HH[j] = t;
-      EE[j] = t - q;
-    }
-    t = -tb;
-    for (long i = 1; i <= I; i++) {
-      long p = HH[0];
-      t -= r;
-      long h = t;
-      HH[0] = t;
-      long f = t - q;
-      const int8_t ai = a[a0 + i - 1];
-      for (long j = 1; j <= N; j++) {
-        f = smax(f, h - q) - r;
-        EE[j] = smax(EE[j], HH[j] - q) - r;
-        h = p + score_at(mat, ai, b[b0 + j - 1]);
-        if (f > h) h = f;
-        if (EE[j] > h) h = EE[j];
-        p = HH[j];
-        HH[j] = h;
-      }
-    }
-    EE[0] = HH[0];
+  // forward global pass over rows a0 .. a0+I-1 with left boundary tb
+  std::vector<long> fwdH(N + 1), fwdE(N + 1);
+  global_init(fwdH, fwdE, N, q, r);
+  for (long i = 1; i <= I; i++) {
+    global_row(fwdH, fwdE, mat + ((long)a[a0 + i - 1] << 5), b + b0, N, q, r,
+               -tb - r * i, w);
   }
+  fwdE[0] = fwdH[0];
 
-  // reverse global pass (rows a0+M-1..a0+I, right boundary open penalty te)
-  XX[0] = 0;
-  {
-    long t = -q;
-    for (long j = 1; j <= N; j++) {
-      t -= r;
-      XX[j] = t;
-      YY[j] = t - q;
-    }
-    t = -te;
-    for (long i = 1; i <= M - I; i++) {
-      long p = XX[0];
-      t -= r;
-      long h = t;
-      XX[0] = t;
-      long f = t - q;
-      const int8_t ai = a[a0 + M - i];
-      for (long j = 1; j <= N; j++) {
-        f = smax(f, h - q) - r;
-        YY[j] = smax(YY[j], XX[j] - q) - r;
-        h = p + score_at(mat, ai, b[b0 + N - j]);
-        if (f > h) h = f;
-        if (YY[j] > h) h = YY[j];
-        p = XX[j];
-        XX[j] = h;
-      }
-    }
-    YY[0] = XX[0];
+  // reverse global pass over rows a0+M-1 .. a0+I with right boundary te
+  std::vector<long> revH(N + 1), revE(N + 1);
+  std::vector<int8_t> brev(N);
+  for (long j = 0; j < N; j++) brev[j] = b[b0 + N - 1 - j];
+  global_init(revH, revE, N, q, r);
+  for (long i = 1; i <= M - I; i++) {
+    global_row(revH, revE, mat + ((long)a[a0 + M - i] << 5), brev.data(), N,
+               q, r, -te - r * i, w);
   }
+  revE[0] = revH[0];
 
-  // join
-  long best = HH[0] + XX[N];
-  long P = 0, J = 0;
-  for (long j = 0; j <= N; j++) {
-    long sc = HH[j] + XX[N - j];
+  // join: first max of fwdH[j] + revH[N-j] wins; then the gap-crossing
+  // E-join with >= — the LAST max takes the split (align.py _diff)
+  long best = fwdH[0] + revH[N];
+  long J = 0;
+  bool gap_join = false;
+  for (long j = 1; j <= N; j++) {
+    long sc = fwdH[j] + revH[N - j];
     if (sc > best) {
       best = sc;
       J = j;
     }
   }
   for (long j = 0; j <= N; j++) {
-    long sc = EE[j] + YY[N - j] + q;
+    long sc = fwdE[j] + revE[N - j] + q;
     if (sc >= best) {
       best = sc;
-      P = 1;
+      gap_join = true;
       J = j;
     }
   }
 
-  HH.clear(); EE.clear(); XX.clear(); YY.clear();
-  HH.shrink_to_fit(); EE.shrink_to_fit(); XX.shrink_to_fit(); YY.shrink_to_fit();
+  // release pass rows before recursing (linear-space guarantee)
+  std::vector<long>().swap(fwdH);
+  std::vector<long>().swap(fwdE);
+  std::vector<long>().swap(revH);
+  std::vector<long>().swap(revE);
+  std::vector<int8_t>().swap(brev);
 
-  if (P == 0) {
-    mm_diff(ops, a, b, I, J, a0, b0, mat, q, r, tb, q);
-    mm_diff(ops, a, b, M - I, N - J, a0 + I, b0 + J, mat, q, r, q, te);
+  if (!gap_join) {
+    mm_split(ops, a, b, I, J, a0, b0, mat, q, r, tb, q, w);
+    mm_split(ops, a, b, M - I, N - J, a0 + I, b0 + J, mat, q, r, q, te, w);
   } else {
-    mm_diff(ops, a, b, I - 1, J, a0, b0, mat, q, r, tb, 0);
+    // the optimum crosses the middle rows inside one query gap: emit the
+    // two gapped rows directly and recurse with open boundaries
+    mm_split(ops, a, b, I - 1, J, a0, b0, mat, q, r, tb, 0, w);
     ops.add('D', 2);
-    mm_diff(ops, a, b, M - I - 1, N - J, a0 + I + 1, b0 + J, mat, q, r, 0, te);
+    mm_split(ops, a, b, M - I - 1, N - J, a0 + I + 1, b0 + J, mat, q, r, 0,
+             te, w);
   }
 }
 
@@ -267,19 +352,22 @@ extern "C" long swtpu_align(const int8_t* a, long M, const int8_t* b, long N,
                             const long* matrix, long q, long r, long hint,
                             long* coords, char* ops_out, long ops_cap) {
   long score, ab = 0, bb = 0, ae, be;
+  Rows w;
+  w.reserve((size_t)N + 1);
   if (hint) {
     score = coords[0];
     ae = coords[3];
     be = coords[4];
   } else {
-    region_forward(a, b, M, N, matrix, q, r, &score, &ae, &be);
+    region_forward(a, b, M, N, matrix, q, r, &score, &ae, &be, w);
   }
-  if (region_reverse(a, b, matrix, q, r, score, ae, be, &ab, &bb) != 0)
+  if (region_reverse(a, b, matrix, q, r, score, ae, be, &ab, &bb, w) != 0)
     return -1;
 
-  OpsBuf ops{ops_out, ops_cap};
-  mm_diff(ops, a, b, ae - ab + 1, be - bb + 1, ab, bb, matrix, q, r, q, q);
-  ops.push();
+  OpString ops{ops_out, ops_cap};
+  mm_split(ops, a, b, ae - ab + 1, be - bb + 1, ab, bb, matrix, q, r, q, q,
+           w);
+  ops.flush();
   if (ops.overflow) return -2;
   if (ops.len < ops_cap) ops_out[ops.len] = 0;
 
