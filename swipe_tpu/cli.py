@@ -104,6 +104,11 @@ class Args:
         self.outfile = None
         self.backend = "auto"
         self.batch = 1
+        # multi-host SPMD (parallel.multihost): every host runs the same
+        # command line with its own --mh-rank; rank 0 writes the output
+        self.mh_procs = 1
+        self.mh_rank = 0
+        self.mh_coord = "localhost:12321"
 
 
 def parse_args(argv: list[str]) -> Args:
@@ -131,6 +136,7 @@ def parse_args(argv: list[str]) -> Args:
         "filter": "F", "subalignments": "K", "dump": "N", "out": "o",
         "dbsize": "z", "show_gis": "I", "show_taxid": "H", "help": "h",
         "backend": "BACKEND", "batch": "BATCH",
+        "mh-procs": "MHPROCS", "mh-rank": "MHRANK", "mh-coord": "MHCOORD",
     }
     i = 0
     args = argv
@@ -157,14 +163,21 @@ def parse_args(argv: list[str]) -> Args:
             if short is None:
                 usage_exit()
             opt = short
-            if opt not in ("I", "H", "h", "BACKEND", "BATCH") and val is None:
+            extended = ("BACKEND", "BATCH", "MHPROCS", "MHRANK", "MHCOORD")
+            if opt not in ("I", "H", "h") + extended and val is None:
                 val = next_val(arg)
-            if opt == "BACKEND":
-                a.backend = val if val is not None else next_val(arg)
-                i += 1
-                continue
-            if opt == "BATCH":
-                a.batch = _atol(val if val is not None else next_val(arg))
+            if opt in extended:
+                v = val if val is not None else next_val(arg)
+                if opt == "BACKEND":
+                    a.backend = v
+                elif opt == "BATCH":
+                    a.batch = _atol(v)
+                elif opt == "MHPROCS":
+                    a.mh_procs = _atol(v)
+                elif opt == "MHRANK":
+                    a.mh_rank = _atol(v)
+                else:
+                    a.mh_coord = v
                 i += 1
                 continue
         elif arg.startswith("-") and len(arg) >= 2:
@@ -374,6 +387,13 @@ def _enable_compile_cache() -> None:
 
 def main(argv=None) -> int:
     a = parse_args(sys.argv[1:] if argv is None else argv)
+    if a.mh_procs > 1:
+        # join the multi-host job before any other JAX use; only rank 0
+        # renders output (every rank computes identical results)
+        from .parallel.multihost import init_multihost
+        init_multihost(a.mh_coord, a.mh_procs, a.mh_rank)
+        if a.mh_rank != 0:
+            a.outfile = os.devnull
     _enable_compile_cache()
     out = open(a.outfile, "w") if a.outfile else sys.stdout
 
@@ -398,7 +418,11 @@ def main(argv=None) -> int:
     if a.queryname != "-" and not os.path.exists(a.queryname):
         fatal("Cannot open query file.")
 
-    engine = SearchEngine(db, params, backend=a.backend)
+    if a.mh_procs > 1:
+        from .parallel.multihost import MultiHostEngine
+        engine = MultiHostEngine(db, params, backend=a.backend)
+    else:
+        engine = SearchEngine(db, params, backend=a.backend)
 
     # observability extension: SWIPE_TPU_TRACE=<dir> wraps the whole run in
     # a JAX profiler trace (view with xprof/tensorboard)

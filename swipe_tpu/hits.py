@@ -173,54 +173,63 @@ class HitList:
 
     # ---- align phase --------------------------------------------------------
 
-    def align_all(self, query, matrix: np.ndarray, gapopen: int,
-                  gapextend: int, scorelimit_16: int = 1 << 62) -> None:
-        """Fetch headers for all kept hits; align those that are shown.
+    def fill_hit(self, i: int, h: Hit, query, matrix: np.ndarray,
+                 gapopen: int, gapextend: int,
+                 scorelimit_16: int = 1 << 62) -> None:
+        """Fetch display data for hit ``i`` and align it if it is shown.
 
         Parity target: hits_align (/root/reference/hits.cc:546-618) plus the
         align-phase hint pass (align_chunk, swipe.cc:339-414): an endpoint
         hint with search16s tie semantics (ops.align_hint) replaces the
         forward region pass when bestq > 0 and bestpos != 0 — required for
         picking the same alignment when several optimal endpoints exist.
+        Factored per-hit so a multi-host run can route each hit to the
+        host owning its sequence (parallel.multihost).
         """
         from .ops.align_hint import hint_endpoint
 
-        for i, h in enumerate(self.hits):
-            h.deflines = self.db.get_deflines(h.seqno)
-            h.defline_objs = self.db.get_defline_objects(h.seqno)
-            h.header = h.deflines[0] if h.deflines else ""
-            if i >= self.opt_alignments:
-                # not aligned, but displays may still need the sequence
-                # length (-m 7 <len>); the reference prints stale memory
-                # here — we report the true length (see report.show_xml)
-                h.dlen, h.dlennt = self.db.get_length(
-                    h.seqno, self.symtype, h.dstrand, h.dframe)
-                continue
-            dseq, ntlen = self.db.get_sequence(
+        h.deflines = self.db.get_deflines(h.seqno)
+        h.defline_objs = self.db.get_defline_objects(h.seqno)
+        h.header = h.deflines[0] if h.deflines else ""
+        if i >= self.opt_alignments:
+            # not aligned, but displays may still need the sequence
+            # length (-m 7 <len>); the reference prints stale memory
+            # here — we report the true length (see report.show_xml)
+            h.dlen, h.dlennt = self.db.get_length(
                 h.seqno, self.symtype, h.dstrand, h.dframe)
-            h.dseq = dseq
-            h.dlen = len(dseq)
-            h.dlennt = ntlen
+            return
+        dseq, ntlen = self.db.get_sequence(
+            h.seqno, self.symtype, h.dstrand, h.dframe)
+        h.dseq = dseq
+        h.dlen = len(dseq)
+        h.dlennt = ntlen
 
-            if self.symtype == 0:
-                qseq = query.nt[0]
-            else:
-                qseq = query.aa[3 * h.qstrand + h.qframe]
+        if self.symtype == 0:
+            qseq = query.nt[0]
+        else:
+            qseq = query.aa[3 * h.qstrand + h.qframe]
 
-            # blastn minus-strand-only quirk: the reference's align-phase
-            # strand bins cover only qstrand=1 when -S 2
-            # (swipe.cc:279 qstrand1 = querystrands==2 ? 1 : 0), but blastn
-            # hits are recorded as plus-query/minus-db (swipe.cc:1468-1471),
-            # so they never receive a hint and region()'s row-major tie
-            # rule picks the alignment endpoint instead
-            hintable = not (self.symtype == 0 and self.querystrands == 2)
-            hint = None
-            if hintable and h.score < scorelimit_16:
-                score, bestq, bestpos = hint_endpoint(
-                    qseq, dseq, matrix, gapopen, gapextend)
-                if bestq > 0 and bestpos:
-                    hint = (score, bestq, bestpos)
+        # blastn minus-strand-only quirk: the reference's align-phase
+        # strand bins cover only qstrand=1 when -S 2
+        # (swipe.cc:279 qstrand1 = querystrands==2 ? 1 : 0), but blastn
+        # hits are recorded as plus-query/minus-db (swipe.cc:1468-1471),
+        # so they never receive a hint and region()'s row-major tie
+        # rule picks the alignment endpoint instead
+        hintable = not (self.symtype == 0 and self.querystrands == 2)
+        hint = None
+        if hintable and h.score < scorelimit_16:
+            score, bestq, bestpos = hint_endpoint(
+                qseq, dseq, matrix, gapopen, gapextend)
+            if bestq > 0 and bestpos:
+                hint = (score, bestq, bestpos)
 
-            (h.score_align, h.align_q_start, h.align_d_start,
-             h.align_q_end, h.align_d_end, h.alignment) = align_fn(
-                qseq, dseq, matrix, gapopen, gapextend, hint=hint)
+        (h.score_align, h.align_q_start, h.align_d_start,
+         h.align_q_end, h.align_d_end, h.alignment) = align_fn(
+            qseq, dseq, matrix, gapopen, gapextend, hint=hint)
+
+    def align_all(self, query, matrix: np.ndarray, gapopen: int,
+                  gapextend: int, scorelimit_16: int = 1 << 62) -> None:
+        """Fetch headers for all kept hits; align those that are shown."""
+        for i, h in enumerate(self.hits):
+            self.fill_hit(i, h, query, matrix, gapopen, gapextend,
+                          scorelimit_16)

@@ -104,10 +104,18 @@ class Database:
         codes, ntlen = self.get_sequence(seqno, symtype, dstrand, dframe)
         return len(codes), ntlen
 
-    def search_units(self, symtype: int) -> Iterator[SearchUnit]:
-        """All (seqno, dstrand, dframe) scoring tasks for the search phase."""
+    def search_units(self, symtype: int,
+                     seqno_range: tuple[int, int] | None = None
+                     ) -> Iterator[SearchUnit]:
+        """All (seqno, dstrand, dframe) scoring tasks for the search phase.
+
+        ``seqno_range`` restricts to [lo, hi) — a multi-host run gives
+        each host its shard without decoding the rest of the database
+        (parallel.multihost; the reference's slaves likewise only map
+        their assigned chunks, swipe.cc:2273-2286)."""
         translated = symtype in (3, 4)
-        for seqno in range(self.seqcount()):
+        lo, hi = seqno_range if seqno_range else (0, self.seqcount())
+        for seqno in range(lo, hi):
             if not self.check_inclusion(seqno):
                 continue
             if translated:
@@ -119,6 +127,24 @@ class Database:
             else:
                 codes, _ = self.get_sequence(seqno, symtype, 0, 0)
                 yield SearchUnit(seqno, 0, 0, codes)
+
+    def unit_metas(self, symtype: int) -> np.ndarray:
+        """[n, 3] (seqno, dstrand, dframe) for every scoring unit, in
+        search_units order, WITHOUT decoding sequence data — every host
+        of a multi-host run derives the same global unit numbering from
+        this."""
+        metas = []
+        translated = symtype in (3, 4)
+        for seqno in range(self.seqcount()):
+            if not self.check_inclusion(seqno):
+                continue
+            if translated:
+                for dstrand in range(2):
+                    for dframe in range(3):
+                        metas.append((seqno, dstrand, dframe))
+            else:
+                metas.append((seqno, 0, 0))
+        return np.array(metas, dtype=np.int64).reshape(len(metas), 3)
 
 
 class FastaDatabase(Database):

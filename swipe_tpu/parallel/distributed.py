@@ -16,20 +16,12 @@ the dp x q grid used for query-batch workloads.  Communication is a single
 all-gather of (K x record) arrays per chunk, exactly mirroring the 8-long
 tuple encoding the reference slaves ship to the master (swipe.cc:2304-2320).
 
-Multi-host (pod slice) recipe — the same code, a bigger mesh:
-
-1. each host calls ``jax.distributed.initialize()``; ``jax.devices()``
-   then spans the slice and ``make_mesh`` builds a global (db, q) mesh;
-2. each host packs only its own database shard (the reference's slaves
-   likewise each mmap the shared filesystem, swipe.cc:2211) and places its
-   lanes on its local devices; unit ids stay global;
-3. ``sharded_stream_topk`` is unchanged: the all-gather of K-record lists
-   rides ICI within a host and DCN across hosts — per chunk it moves
-   n_db*K records, independent of database size;
-4. the align phase stays host-side: the merged top-K names (unit, score);
-   each hit's sequence is fetched by the host owning that db shard (or any
-   host on a shared filesystem) exactly like the reference's per-hit
-   master/slave exchange (swipe.cc:2336-2411).
+Multi-host (pod slice) execution lives in :mod:`.multihost`
+(``MultiHostEngine``): every host initializes ``jax.distributed``, packs
+only its volume-aligned shard with global unit ids, scores on the global
+mesh with the same per-device top-K + all-gather merge used here, and
+the align phase routes each hit to its owning host — see that module's
+docstring and tests/test_multihost.py for the N-process parity proof.
 """
 
 from __future__ import annotations
