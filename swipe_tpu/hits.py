@@ -93,7 +93,11 @@ class HitList:
 
         self.totalhits = 0
         self.obvious = 0
-        self._cand: list[tuple] = []  # (-score, -seqno, tie keys, fields)
+        # candidate buffer: [n, 6] int64 blocks of (score, seqno, qstrand,
+        # qframe, dstrand, dframe), compacted by _compact() — no
+        # per-candidate Python objects on the hot path
+        self._parts: list[np.ndarray] = []
+        self._ncand = 0
         self.hits: list[Hit] = []
 
     # ---- search phase -------------------------------------------------------
@@ -123,41 +127,60 @@ class HitList:
         keep = (scores >= self.scorethreshold) & \
                (scores <= self.upperscorethreshold)
         idx = np.nonzero(keep)[0]
-        if self.symtype == 0 and qstrand:
-            hqstrand, hqframe = 0, 0
-            dstr = np.ones(len(seqnos), dtype=np.int64)
-            dfr = np.zeros(len(seqnos), dtype=np.int64)
-        else:
-            hqstrand, hqframe = qstrand, qframe
-            dstr, dfr = dstrands, dframes
+        if len(idx) == 0:
+            return
+        part = np.empty((len(idx), 6), dtype=np.int64)
+        part[:, 0] = scores[idx]
+        part[:, 1] = seqnos[idx]
         # exact (score, seqno) ties keep the reference's single-threaded
         # insertion order: qstrand, qframe, dstrand, dframe ascending
         # (the search loops of swipe.cc:1403-1596)
-        for i in idx:
-            self._cand.append((-int(scores[i]), -int(seqnos[i]),
-                               hqstrand, hqframe, int(dstr[i]), int(dfr[i]),
-                               int(seqnos[i]), int(scores[i])))
+        if self.symtype == 0 and qstrand:
+            part[:, 2] = 0
+            part[:, 3] = 0
+            part[:, 4] = 1
+            part[:, 5] = 0
+        else:
+            part[:, 2] = qstrand
+            part[:, 3] = qframe
+            part[:, 4] = np.asarray(dstrands)[idx]
+            part[:, 5] = np.asarray(dframes)[idx]
+        self._parts.append(part)
+        self._ncand += len(part)
         # bounded memory like the reference's rising dynamic threshold
         # (hits.cc:218-219): once the buffer is well past keephits, keep
         # only the winners and admit nothing below the kth score.  The
         # comparator is a total order, so truncation keeps exactly the
         # entries the final sort would.
-        if len(self._cand) > max(4 * self.keephits, 4096):
-            self._cand.sort()
-            del self._cand[self.keephits:]
-            if self.keephits and len(self._cand) == self.keephits:
+        if self._ncand > max(4 * self.keephits, 4096):
+            self._compact()
+            if self.keephits and self._ncand == self.keephits:
                 self.scorethreshold = max(self.scorethreshold,
-                                          self._cand[-1][7])
+                                          int(self._parts[0][-1, 0]))
+
+    def _compact(self) -> None:
+        """Sort the buffer by (score desc, seqno desc, qstrand, qframe,
+        dstrand, dframe asc) and truncate to keephits."""
+        if not self._parts:
+            return
+        cand = np.concatenate(self._parts, axis=0)
+        order = np.lexsort((cand[:, 5], cand[:, 4], cand[:, 3], cand[:, 2],
+                            -cand[:, 1], -cand[:, 0]))[: self.keephits]
+        cand = cand[order]
+        self._parts = [cand]
+        self._ncand = len(cand)
 
     def finalize(self) -> None:
         """Select and order the kept hits (the reference's final list)."""
-        self._cand.sort()
+        self._compact()
+        cand = self._parts[0] if self._parts else np.empty((0, 6), np.int64)
         self.hits = [
-            Hit(seqno=c[6], score=c[7], qstrand=c[2], qframe=c[3],
-                dstrand=c[4], dframe=c[5])
-            for c in self._cand[: self.keephits]
+            Hit(seqno=int(c[1]), score=int(c[0]), qstrand=int(c[2]),
+                qframe=int(c[3]), dstrand=int(c[4]), dframe=int(c[5]))
+            for c in cand
         ]
-        self._cand = []
+        self._parts = []
+        self._ncand = 0
 
     @property
     def count(self) -> int:

@@ -35,44 +35,49 @@ from .stats import EvalueModel
 __all__ = ["SearchEngine", "SearchParams", "SearchTimings"]
 
 
-def _chunk_reduce_impl(sc, init_thr, k, sl7, sl16):
+def _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16):
     import jax
-    import jax.numpy as jnp  # noqa: F401
+    import jax.numpy as jnp
 
+    totalh = (sc >= init_thr[:, None]).sum(axis=1)
+    obvious = (sc > upper[:, None]).sum(axis=1)
+    n16 = (sc >= sl7).sum()
+    n63 = (sc >= sl16).sum()
+    # entries above the upper cutoff (-u / -k) are counted in `obvious`
+    # but excluded from the hit list (hits.cc:168-180): mask them below
+    # any real SW score so they cannot occupy top-K slots
+    sc = jnp.where(sc > upper[:, None], -1, sc)
     rev = sc[:, ::-1]
     vals, ridx = jax.lax.top_k(rev, k)
     idx = sc.shape[1] - 1 - ridx
-    totalh = (sc >= init_thr[:, None]).sum(axis=1)
-    n16 = (sc >= sl7).sum()
-    n63 = (sc >= sl16).sum()
-    return vals, idx, totalh, n16, n63
+    return vals, idx, totalh, obvious, n16, n63
 
 
 _chunk_reduce_jit = None
 
 
-def _chunk_reduce(sc, init_thr, *, k: int, sl7: int, sl16: int):
+def _chunk_reduce(sc, init_thr, upper, *, k: int, sl7: int, sl16: int):
     """Device-side per-chunk hit reduction: top-K candidates + counters.
 
     Replaces transferring every score to the host (the reference instead
     relies on a mutexed hits_enter per sequence, hits.cc:163-222).  Scores
     are selected by (score desc, unit id desc) — the reference's insertion
     tie order (hits.cc:188-191) — by running top_k on the unit-reversed
-    array, since lax.top_k prefers the lowest index on ties.
+    array, since lax.top_k prefers the lowest index on ties.  Scores above
+    the per-slot upper cutoff are masked to -1 (callers drop them), so the
+    reduction stays exact under -u/-k.
 
     The jitted implementation is a module-level singleton: a fresh jit
     per call would re-trace (and round-trip the remote compiler) on every
     chunk.
     """
-    import functools
-
     import jax
 
     global _chunk_reduce_jit
     if _chunk_reduce_jit is None:
         _chunk_reduce_jit = jax.jit(
             _chunk_reduce_impl, static_argnames=("k", "sl7", "sl16"))
-    return _chunk_reduce_jit(sc, init_thr, k, sl7, sl16)
+    return _chunk_reduce_jit(sc, init_thr, upper, k, sl7, sl16)
 
 
 @dataclass
@@ -474,14 +479,14 @@ class SearchEngine:
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
-        # the device-side top-K selection is exact only while there is no
-        # upper score cutoff (-u/-k): scores above it are *excluded* from
-        # the list but would still occupy top-K slots
-        use_topk = all(
-            s[0].upperscorethreshold >= 2**62 for s in slots)
         init_thr = jnp.asarray(
             [max(min(s[0].init_threshold, 2**31 - 1), -2**31) for s in slots],
             jnp.int32)
+        # upper cutoff (-u/-k): _chunk_reduce masks scores above it on
+        # device, so the top-K stays exact (hits.cc:168-180 semantics)
+        upper_thr = jnp.asarray(
+            [max(min(s[0].upperscorethreshold, 2**31 - 1), -2**31)
+             for s in slots], jnp.int32)
         kbase = max(s[0].keephits for s in slots) + 64
         def drain(item):
             units, payload, reduced = item
@@ -506,9 +511,10 @@ class SearchEngine:
                                        gapextend=p.gapextend,
                                        interpret=interpret)
             sc = gather_scores(out, end_block, lane)  # [NSLOTS, n]
-            if use_topk and kbase < units.shape[0]:
+            if kbase < units.shape[0]:
                 pending.append((units, _chunk_reduce(
-                    sc, init_thr, k=kbase, sl7=self.matrix.scorelimit_7,
+                    sc, init_thr, upper_thr, k=kbase,
+                    sl7=self.matrix.scorelimit_7,
                     sl16=self.matrix.scorelimit_16), True))
             else:
                 pending.append((units, sc, False))
@@ -586,12 +592,14 @@ class SearchEngine:
 
     def _enter_chunk(self, slots, units, payload, reduced, timings):
         if reduced:
-            vals, idx, totalh, n16, n63 = map(np.asarray, payload)
+            vals, idx, totalh, obvious, n16, n63 = map(np.asarray, payload)
             for fi, (hits, qstrand, qframe, _) in enumerate(slots):
-                meta = self.unit_meta[units[idx[fi]]]
-                hits.enter_batch(meta[:, 0], vals[fi], qstrand, qframe,
+                # drop upper-cutoff-masked slots (-1, below any SW score)
+                sel = vals[fi] >= 0
+                meta = self.unit_meta[units[idx[fi][sel]]]
+                hits.enter_batch(meta[:, 0], vals[fi][sel], qstrand, qframe,
                                  meta[:, 1], meta[:, 2],
-                                 counts=(int(totalh[fi]), 0))
+                                 counts=(int(totalh[fi]), int(obvious[fi])))
             if timings is not None:
                 timings.compute[7] += units.shape[0] * len(slots)
                 timings.compute[16] += int(n16)

@@ -128,3 +128,84 @@ def test_random_alignments_many_penalties(m62, go, ge):
         assert score == s
         ws, wi, wj = walk_ops(ops, a, b, ab, bb, m62.matrix, go, ge)
         assert ws == s
+
+
+# ---- hint-pass tie semantics (search16s parity, VERDICT W5) ----------------
+
+def _full_h_matrix(a, b, matrix, go, ge):
+    """Textbook full H matrix (for brute-forcing the hint tie rules)."""
+    mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
+    Q, R = go + ge, ge
+    m, n = len(a), len(b)
+    NEG = -(1 << 40)
+    H = np.zeros((m + 1, n + 1), dtype=np.int64)
+    E = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    F = np.full((m + 1, n + 1), NEG, dtype=np.int64)
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            E[i, j] = max(E[i, j - 1] - R, H[i, j - 1] - Q)
+            F[i, j] = max(F[i - 1, j] - R, H[i - 1, j] - Q)
+            H[i, j] = max(0, H[i - 1, j - 1] + mat[a[i - 1], b[j - 1]],
+                          E[i, j], F[i, j])
+    return H[1:, 1:]
+
+
+def _brute_hint(a, b, matrix, go, ge):
+    """(score, bestq, bestpos) from the full matrix: bestpos = FIRST
+    column attaining the final max, bestq = SMALLEST row attaining it in
+    that column (search16s.cc:397-404,523-530)."""
+    H = _full_h_matrix(a, b, matrix, go, ge)
+    S = int(H.max())
+    if S == 0:
+        return 0, -1, 0
+    colmax = H.max(axis=0)
+    bestpos = int(np.argmax(colmax == S))
+    bestq = int(np.argmax(H[:, bestpos] == S))
+    return S, bestq, bestpos
+
+
+def test_hint_first_improving_column(m62):
+    from swipe_tpu.ops.align_hint import hint_endpoint
+    # equal-score endpoints at columns 1 and 4: the FIRST one wins
+    a = encode("AR", MAP_NCBI_AA)
+    b = encode("ARWAR", MAP_NCBI_AA)
+    s, bq, bp = hint_endpoint(a, b, m62.matrix, 11, 1)
+    assert (s, bq, bp) == _brute_hint(a, b, m62.matrix, 11, 1)
+    assert bp == 1 and bq == 1
+
+
+def test_hint_smallest_row_in_column(m62):
+    from swipe_tpu.ops.align_hint import hint_endpoint
+    # two rows reach the max in the same column: smallest row wins
+    a = encode("AA", MAP_NCBI_AA)
+    b = encode("A", MAP_NCBI_AA)
+    s, bq, bp = hint_endpoint(a, b, m62.matrix, 11, 1)
+    assert (s, bq, bp) == _brute_hint(a, b, m62.matrix, 11, 1)
+    assert bq == 0 and bp == 0
+
+
+def test_hint_no_strict_improvement_keeps_first(m62):
+    from swipe_tpu.ops.align_hint import hint_endpoint
+    # a later column TIES the max but does not strictly improve it:
+    # bestpos must stay at the first attainment
+    a = encode("AA", MAP_NCBI_AA)
+    b = encode("AWA", MAP_NCBI_AA)
+    s, bq, bp = hint_endpoint(a, b, m62.matrix, 11, 1)
+    assert (s, bq, bp) == _brute_hint(a, b, m62.matrix, 11, 1)
+    assert bp == 0
+
+
+@pytest.mark.parametrize("go,ge", [(11, 1), (4, 2)])
+def test_hint_ties_match_bruteforce_random(m62, go, ge):
+    from swipe_tpu.ops.align_hint import hint_endpoint
+    rng = np.random.default_rng(go * 10 + ge)
+    # tiny alphabet maximizes multi-optimal-endpoint collisions
+    for _ in range(30):
+        a = rng.integers(1, 4, size=int(rng.integers(3, 16)), dtype=np.int8)
+        b = rng.integers(1, 4, size=int(rng.integers(3, 25)), dtype=np.int8)
+        got = hint_endpoint(a, b, m62.matrix, go, ge)
+        want = _brute_hint(a, b, m62.matrix, go, ge)
+        if want[0] == 0:
+            assert got[0] == 0
+            continue
+        assert got == want, (a.tolist(), b.tolist(), got, want)

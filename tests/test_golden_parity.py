@@ -58,14 +58,14 @@ def run_ref(ref_bin, args):
     return r.stdout.decode()
 
 
-def run_ours(args):
+def run_ours(args, backend="lax"):
     import io
     from contextlib import redirect_stdout
 
     from swipe_tpu.cli import main
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = main(args + ["--backend", "lax"])
+        rc = main(args + ["--backend", backend])
     assert rc == 0
     return buf.getvalue()
 
@@ -292,6 +292,33 @@ def test_golden(ref_swipe, dbs, name, args, db, qf):
     our_out = _normalize(run_ours(full))
     assert our_out == ref_out, (
         f"output mismatch for {name}\n--- first diff ---\n"
+        + "\n".join(_first_diff(ref_out, our_out)))
+
+
+# production-path parity: the same byte comparison, but through the
+# stream backend (pack_stream grouping, the stream kernel in interpret
+# mode, the device-side top-K reduction) — so the CLI -> stream ->
+# top-K -> report chain sits in the byte-parity loop, not only the lax
+# fallback.  A subset of CASES covering every mode/view plus the upper
+# cutoff, where the device reduction masks scores.
+STREAM_CASES = [
+    "blastp-m8", "blastp-m0", "blastp-m7", "blastp-m99",
+    "blastn-m8", "blastn-m0", "blastx-m9", "blastx-m0",
+    "tblastn-m9", "tblastx-m9", "blastp-minexp", "blastp-evalue",
+    "blastn-strandminus", "blastp-b2v5",
+]
+
+
+@pytest.mark.parametrize(
+    "name,args,db,qf",
+    [c for c in CASES if c[0] in STREAM_CASES],
+    ids=[c[0] for c in CASES if c[0] in STREAM_CASES])
+def test_golden_stream_backend(ref_swipe, dbs, name, args, db, qf):
+    full = args + ["-d", str(dbs / db), "-i", str(dbs / qf)]
+    ref_out = _normalize(run_ref(ref_swipe, full))
+    our_out = _normalize(run_ours(full, backend="stream_interpret"))
+    assert our_out == ref_out, (
+        f"stream-backend mismatch for {name}\n--- first diff ---\n"
         + "\n".join(_first_diff(ref_out, our_out)))
 
 

@@ -241,6 +241,29 @@ def test_stream_device_topk_matches_full():
     assert got.obvious == ref.obvious
 
 
+def test_stream_device_topk_upper_cutoff():
+    # -u / -k upper cutoffs: the device reduction now masks scores above
+    # the cutoff instead of falling back to full transfers; list, order
+    # and both counters must match the host path exactly
+    rng = np.random.default_rng(18)
+    q = "".join(rng.choice(list(AA), 64))
+    fasta, recs = _mkfasta(rng, 800, 30, 90, AA,
+                           plant={5: q[2:60], 77: q[:50], 401: q[10:62]})
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="upper")
+    query = preprocess_query("q up", q, 1, 3)
+    # maxscore cuts out the planted near-perfect hits
+    params = SearchParams(symtype=1, descriptions=20, alignments=0,
+                          expect=1e9, maxscore=120)
+    got = SearchEngine(db, params, backend="stream_interpret").search(query)
+    ref = SearchEngine(db, params, nseqs=8, backend="lax").search(query)
+    assert got.keephits + 64 < 800
+    assert ref.obvious > 0          # the cutoff actually bites
+    assert [(h.seqno, h.score) for h in got.hits] == \
+           [(h.seqno, h.score) for h in ref.hits]
+    assert got.totalhits == ref.totalhits
+    assert got.obvious == ref.obvious
+
+
 def test_stream_long_query_pipeline(protein_setup):
     # a query longer than the widest stream config's VMEM cap must route
     # through the query-tiled kernel and match the lax path
@@ -611,7 +634,7 @@ def test_hitlist_candidate_compaction():
         sl = slice(i, i + 100)
         hl.enter_batch(np.arange(i, i + 100), scores[sl], 0, 0,
                        np.zeros(100, np.int64), np.zeros(100, np.int64))
-        assert len(hl._cand) <= max(4 * hl.keephits, 4096) + 100
+        assert hl._ncand <= max(4 * hl.keephits, 4096) + 100
     hl.finalize()
     assert [(-h.score, -h.seqno) for h in hl.hits] == want
     assert hl.totalhits == 6000
