@@ -105,9 +105,101 @@ def build_qcodes(queries: list[np.ndarray], qlen_pad: int
     return qc, ql
 
 
+def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
+                           out_ref, hst_ref, est_ref, hrow_ref, frow_ref,
+                           s_ref, oh_ref, dprof_ref, *,
+                           Q: int, R: int, clamp: int | None,
+                           qgroup: int, qlen_pad: int):
+    """One (query-group, db-block, group-member) grid step.
+
+    The score profile ("dprofile") depends only on the db block — NOT on
+    the query — so the grid iterates group members fastest and builds the
+    profile once per (group, block), amortizing its cost over ``qgroup``
+    queries (the reference pays dprofile_fill once per 64 db symbols
+    regardless of query count, search7.cc:50-51; this recovers the same
+    economics for short-query batches).  The members' H/E row states
+    co-reside in one VMEM scratch of qgroup * qlen_pad rows.
+    """
+    gi = pl.program_id(0)
+    b = pl.program_id(1)
+    qg = pl.program_id(2)
+    nl = db_ref.shape[1]
+    qi = gi * qgroup + qg
+    off = qg * qlen_pad          # this member's row range in the state
+
+    @pl.when((b == 0) & (qg == 0))
+    def _init():
+        hst_ref[...] = jnp.zeros_like(hst_ref)
+        est_ref[...] = jnp.full_like(est_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    # ---- dprofile: built once per (group, block), reused by members ---------
+    @pl.when(qg == 0)
+    def _dprofile():
+        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+        dblk = db_ref[...].astype(jnp.int32)                # [KSEG*SUB, NL]
+        oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+        dprof_ref[...] = jax.lax.dot_general(
+            m8_ref[...], oh_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(32, KSEG, SUB, nl)
+
+    reset = start_ref[0] != 0
+    hrow_ref[...] = jnp.zeros_like(hrow_ref)
+    frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
+
+    qlen = ql_ref[qi]
+
+    def row_body(rb, carry_):
+        # same RU-blocked, pre-advanced-E/F recurrence as the carry
+        # kernel (_stream_kernel), with rows offset into the member's
+        # slice of the shared state
+        diag0, s = carry_
+        base = off + rb * RU
+        qsyms = [qc_ref[qi, rb * RU + k] for k in range(RU)]
+        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
+                    for k in range(RU)]
+        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                for k in range(RU)]
+        diag = [diag0] + hst_olds[: RU - 1]
+        hs = list(hst_olds)
+        for j in range(KSEG):
+            hprev = hrow_ref[j]
+            fhat = frow_ref[j]
+            hs = []
+            for k in range(RU):
+                p = dprof_ref[qsyms[k], j]
+                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
+                                jnp.maximum(ehat[k], fhat))
+                if clamp is not None:
+                    h = jnp.minimum(h, clamp)
+                s = jnp.maximum(s, h)
+                hq = h - Q
+                ehat[k] = jnp.maximum(ehat[k] - R, hq)
+                fhat = jnp.maximum(fhat - R, hq)
+                hs.append(h)
+            hrow_ref[j] = hs[-1]
+            frow_ref[j] = fhat
+            diag = [hprev] + hs[: RU - 1]
+        for k in range(RU):
+            hst_ref[base + k] = hs[k]
+            est_ref[base + k] = ehat[k]
+        return hst_olds[RU - 1], s
+
+    nrb = (qlen + RU - 1) // RU
+    _, s = jax.lax.fori_loop(
+        0, nrb, row_body,
+        (jnp.zeros((SUB, nl), jnp.int32),
+         jnp.where(reset, 0, s_ref[qg])))
+    s_ref[qg] = s
+    out_ref[0, 0] = s
+
+
 def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
-                   Q: int, R: int, clamp: int | None, carry: bool = False):
-    """One (query, db-block) grid step.
+                   Q: int, R: int, clamp: int | None, carry: bool = True):
+    """One (query, db-block) grid step of the CARRY variant
+    (sw_scores_stream_carry; the plain path uses _stream_kernel_grouped).
 
     db_ref:    [KSEG*SUB, NL] int8 — column j's symbols are rows j*8..j*8+7
     start_ref: [1, SUB, NL] int32 — 1 where the lane starts a new sequence
@@ -117,44 +209,33 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     oh_ref:    [32, KSEG*SUB, NL] int8 one-hot scratch
     dprof_ref: [32, KSEG, SUB, NL] int32 block score profile
 
-    With ``carry`` the per-lane DP state (H/E per query row + running S)
-    enters and leaves through HBM instead of being zero-initialized: at
-    block 0 it is DMA'd from hin/ein/sin [NQ, ...] into the same VMEM
-    scratch, and after the last block the scratch is DMA'd to
-    hout/eout/sout.  This makes a chunk boundary invisible to the DP —
-    the packer (batching.pack_stream_carry) cuts lanes mid-sequence and
-    the cut columns continue in the next chunk of the series.
+    The per-lane DP state (H/E per query row + running S) enters and
+    leaves through HBM instead of being zero-initialized: at block 0 it
+    is DMA'd from hin/ein/sin [NQ, ...] into the VMEM scratch, and after
+    the last block the scratch is DMA'd to hout/eout/sout.  This makes a
+    chunk boundary invisible to the DP — the packer
+    (batching.pack_stream_carry) cuts lanes mid-sequence and the cut
+    columns continue in the next chunk of the series.
     """
-    if carry:
-        (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
-         hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-         oh_ref, dprof_ref, dma_sem) = rest
-    else:
-        (out_ref, hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-         oh_ref, dprof_ref) = rest
+    (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
+     hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+     oh_ref, dprof_ref, dma_sem) = rest
     qi = pl.program_id(0)
     b = pl.program_id(1)
     nl = db_ref.shape[1]
 
-    if carry:
-        @pl.when(b == 0)
-        def _load():
-            cps = [pltpu.make_async_copy(hin_ref.at[qi], hst_ref,
-                                         dma_sem.at[0]),
-                   pltpu.make_async_copy(ein_ref.at[qi], est_ref,
-                                         dma_sem.at[1]),
-                   pltpu.make_async_copy(sin_ref.at[qi], s_ref,
-                                         dma_sem.at[2])]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
-    else:
-        @pl.when(b == 0)
-        def _init():
-            hst_ref[...] = jnp.zeros_like(hst_ref)
-            est_ref[...] = jnp.full_like(est_ref, NEG_INF)
-            s_ref[...] = jnp.zeros_like(s_ref)
+    @pl.when(b == 0)
+    def _load():
+        cps = [pltpu.make_async_copy(hin_ref.at[qi], hst_ref,
+                                     dma_sem.at[0]),
+               pltpu.make_async_copy(ein_ref.at[qi], est_ref,
+                                     dma_sem.at[1]),
+               pltpu.make_async_copy(sin_ref.at[qi], s_ref,
+                                     dma_sem.at[2])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
     # ---- dprofile: one-hot matmul on the MXU --------------------------------
     # the one-hot is staged through an int8 VMEM scratch on purpose:
@@ -242,13 +323,15 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gapopenextend", "gapextend", "clamp", "interpret"),
+    static_argnames=("gapopenextend", "gapextend", "clamp", "interpret",
+                     "qgroup"),
 )
 def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
                      db: jax.Array, start: jax.Array, *,
                      gapopenextend: int, gapextend: int,
                      clamp: int | None = None,
-                     interpret: bool = False) -> jax.Array:
+                     interpret: bool = False,
+                     qgroup: int = 1) -> jax.Array:
     """Score queries against a lane-packed db chunk (stream kernel).
 
     qcodes:  [NQ, QLEN] int32 query codes, PAD_SYMBOL padded (build_qcodes)
@@ -258,6 +341,10 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
              L a multiple of KSEG, NSEQS a multiple of 8*128
     start:   [L // KSEG, NSEQS] int8/int32 — 1 where a lane begins a new
              sequence at that block
+    qgroup:  queries whose H/E states co-reside in VMEM and share one
+             dprofile build per db block (the short-query amortization;
+             qgroup * QLEN rows of state must fit the VMEM budget —
+             callers size it from STREAM_CONFIGS caps)
     Returns [NQ, L // KSEG, NSEQS] int32: each lane's running max score
     after every block; a sequence's score is the value at its end block
     (gather_scores).
@@ -272,6 +359,15 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
         # the RU-unrolled row loop indexes qc/hst/est up to the next
         # multiple of RU
         raise ValueError(f"qlen_pad {qlen_pad} not a multiple of RU={RU}")
+    ngroups = -(-nq // qgroup)
+    nq_pad = ngroups * qgroup
+    if nq_pad != nq:
+        # pad with zero-length members (their row loop never runs)
+        qcodes = jnp.concatenate(
+            [qcodes, jnp.full((nq_pad - nq, qlen_pad), PAD_SYMBOL,
+                              qcodes.dtype)], axis=0)
+        qlens = jnp.concatenate(
+            [qlens, jnp.zeros((nq_pad - nq,), qlens.dtype)], axis=0)
     nl = nseqs // SUB
     nblocks = L // KSEG
     # lane fold: packed lane i -> (sublane i // nl, lane i % nl); then merge
@@ -280,28 +376,30 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
 
     kernel = functools.partial(
-        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp)
+        _stream_kernel_grouped, Q=gapopenextend, R=gapextend, clamp=clamp,
+        qgroup=qgroup, qlen_pad=qlen_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nq, nblocks),
+        grid=(ngroups, nblocks, qgroup),
         in_specs=[
-            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
+            pl.BlockSpec((32, 32), lambda g, b, q, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
+            pl.BlockSpec((KSEG * SUB, nl), lambda g, b, q, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
+            pl.BlockSpec((1, SUB, nl), lambda g, b, q, *_: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, SUB, nl),
-                               lambda q, b, *_: (q, b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, 1, SUB, nl),
+            lambda g, b, q, *_: (g * qgroup + q, b, 0, 0),
+            memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
-            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
-            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((qgroup, SUB, nl), jnp.int32),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
             pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
         ],
@@ -309,18 +407,19 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nq_pad, nblocks, SUB, nl),
+                                       jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            # both axes are sequential: db blocks carry H/E state, and the
-            # query axis REUSES the same scratch buffers.  On a megacore
-            # part (v4/v5p, 2 TensorCores) the query axis could be marked
-            # "parallel" only if the scratch were made per-core — revisit
-            # when multi-core hardware is available to validate.
-            dimension_semantics=("arbitrary", "arbitrary"),
+            # all axes are sequential: db blocks carry H/E state, the
+            # group axis reuses the same scratch, and group members share
+            # the block's dprofile.  On a megacore part (v4/v5p, 2
+            # TensorCores) the group axis could be marked "parallel" only
+            # with per-core scratch — revisit on multi-core hardware.
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(qcodes, qlens, matrix8, db8, start32)
-    return out.reshape(nq, nblocks, nseqs)
+    return out.reshape(nq_pad, nblocks, nseqs)[:nq]
 
 
 def make_stream_state(nq: int, qlen_pad: int, nseqs: int):

@@ -341,7 +341,15 @@ class SearchEngine:
                 groups: list[tuple] = []
                 caps = dict(self.STREAM_CONFIGS)
                 for s in slots_sorted:
-                    qlen_pad = max(128, -(-len(s[3]) // 128) * 128)
+                    # short queries bucket to 32 rows so the query group
+                    # (shared-dprofile) packs more members under the VMEM
+                    # row cap; longer ones keep the coarse 128 buckets
+                    # (bounded compile-cache shapes)
+                    L = len(s[3])
+                    if L <= 128:
+                        qlen_pad = max(32, -(-L // 32) * 32)
+                    else:
+                        qlen_pad = -(-L // 128) * 128
                     if self._forced_nseqs is not None \
                             and qlen_pad <= caps[self._forced_nseqs]:
                         nseqs = self._forced_nseqs
@@ -492,6 +500,13 @@ class SearchEngine:
             units, payload, reduced = item
             self._enter_chunk(slots, units, payload, reduced, timings)
 
+        # short-query dprofile amortization: members of a query group
+        # share one dprofile build per db block; the group's row states
+        # must fit the config's VMEM row cap (STREAM_CONFIGS)
+        qgroup = 1
+        if not long:
+            cap = dict(self.STREAM_CONFIGS)[nseqs]
+            qgroup = min(max(cap // qlen_pad, 1), len(slots))
         # keep a few chunks in flight: dispatch is async so device work
         # overlaps the host-side hit entry, but unbounded issue would keep
         # every upload + per-block dump buffer live at once (fatal for
@@ -509,7 +524,8 @@ class SearchEngine:
                 out = sw_scores_stream(qc, ql, m8, data, start,
                                        gapopenextend=p.gapopenextend,
                                        gapextend=p.gapextend,
-                                       interpret=interpret)
+                                       interpret=interpret,
+                                       qgroup=qgroup)
             sc = gather_scores(out, end_block, lane)  # [NSLOTS, n]
             if kbase < units.shape[0]:
                 pending.append((units, _chunk_reduce(

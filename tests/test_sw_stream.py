@@ -183,6 +183,28 @@ def test_all_kernels_agree_randomized(m62):
                         assert (out[:, k, lane] == want[:, sn]).all(), seed
 
 
+@pytest.mark.parametrize("qgroup", [2, 3, 5])
+def test_stream_qgroup_matches_oracle(m62, qgroup):
+    # query groups share one dprofile per block and co-resident state;
+    # scores must be identical for any group size, including ragged tails
+    rng = np.random.default_rng(40 + qgroup)
+    queries = _rand_seqs(rng, 7, 10, 60)     # 7 queries: ragged vs 2/3/5
+    seqs = _rand_seqs(rng, 1500, 1, 120)
+    chunks = pack_stream(seqs, nseqs=1024)
+    qc, ql = build_qcodes(queries, 64)
+    m8 = build_matrix8(m62.matrix)
+    got = np.zeros((len(queries), len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        out = sw_scores_stream(qc, ql, m8, ch.data, ch.start,
+                               gapopenextend=12, gapextend=1,
+                               interpret=True, qgroup=qgroup)
+        got[:, ch.seqnos] = np.asarray(
+            gather_scores(out, ch.end_block, ch.lane))
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    assert np.array_equal(got, want)
+
+
 def test_pack_stream_carry_bounds_and_coverage():
     # every chunk footprint <= nseqs x max_cols regardless of member
     # length; every sequence ends exactly once; cuts at block multiples
