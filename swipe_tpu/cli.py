@@ -413,7 +413,8 @@ def main(argv=None) -> int:
         gapextend=a.gapextend, descriptions=a.maxmatches,
         alignments=a.alignments, minscore=a.minscore, maxscore=a.maxscore,
         expect=a.expect, minexpect=a.minexpect, effdbsize=a.effdbsize,
-        query_gencode=a.query_gencode, db_gencode=a.db_gencode)
+        query_gencode=a.query_gencode, db_gencode=a.db_gencode,
+        threads=a.threads)
 
     if a.queryname != "-" and not os.path.exists(a.queryname):
         fatal("Cannot open query file.")

@@ -196,21 +196,14 @@ class HitList:
 
     # ---- align phase --------------------------------------------------------
 
-    def fill_hit(self, i: int, h: Hit, query, matrix: np.ndarray,
-                 gapopen: int, gapextend: int,
-                 scorelimit_16: int = 1 << 62) -> None:
-        """Fetch display data for hit ``i`` and align it if it is shown.
+    def _qseq(self, query, qstrand: int, qframe: int) -> np.ndarray:
+        if self.symtype == 0:
+            return query.nt[0]
+        return query.aa[3 * qstrand + qframe]
 
-        Parity target: hits_align (/root/reference/hits.cc:546-618) plus the
-        align-phase hint pass (align_chunk, swipe.cc:339-414): an endpoint
-        hint with search16s tie semantics (ops.align_hint) replaces the
-        forward region pass when bestq > 0 and bestpos != 0 — required for
-        picking the same alignment when several optimal endpoints exist.
-        Factored per-hit so a multi-host run can route each hit to the
-        host owning its sequence (parallel.multihost).
-        """
-        from .ops.align_hint import hint_endpoint
-
+    def _fetch_hit(self, i: int, h: Hit) -> None:
+        """Headers/deflines for every kept hit; the sequence for shown
+        ones (hits_align's fetch half, hits.cc:553-570)."""
         h.deflines = self.db.get_deflines(h.seqno)
         h.defline_objs = self.db.get_defline_objects(h.seqno)
         h.header = h.deflines[0] if h.deflines else ""
@@ -227,32 +220,94 @@ class HitList:
         h.dlen = len(dseq)
         h.dlennt = ntlen
 
-        if self.symtype == 0:
-            qseq = query.nt[0]
-        else:
-            qseq = query.aa[3 * h.qstrand + h.qframe]
-
+    @property
+    def _hintable(self) -> bool:
         # blastn minus-strand-only quirk: the reference's align-phase
         # strand bins cover only qstrand=1 when -S 2
         # (swipe.cc:279 qstrand1 = querystrands==2 ? 1 : 0), but blastn
         # hits are recorded as plus-query/minus-db (swipe.cc:1468-1471),
         # so they never receive a hint and region()'s row-major tie
         # rule picks the alignment endpoint instead
-        hintable = not (self.symtype == 0 and self.querystrands == 2)
-        hint = None
-        if hintable and h.score < scorelimit_16:
-            score, bestq, bestpos = hint_endpoint(
-                qseq, dseq, matrix, gapopen, gapextend)
-            if bestq > 0 and bestpos:
-                hint = (score, bestq, bestpos)
+        return not (self.symtype == 0 and self.querystrands == 2)
 
+    def _align_hit(self, h: Hit, query, matrix, gapopen: int,
+                   gapextend: int, hint) -> None:
         (h.score_align, h.align_q_start, h.align_d_start,
          h.align_q_end, h.align_d_end, h.alignment) = align_fn(
-            qseq, dseq, matrix, gapopen, gapextend, hint=hint)
+            self._qseq(query, h.qstrand, h.qframe), h.dseq, matrix,
+            gapopen, gapextend, hint=hint)
+
+    def fill_hit(self, i: int, h: Hit, query, matrix: np.ndarray,
+                 gapopen: int, gapextend: int,
+                 scorelimit_16: int = 1 << 62) -> None:
+        """Fetch display data for hit ``i`` and align it if it is shown.
+
+        Parity target: hits_align (/root/reference/hits.cc:546-618) plus the
+        align-phase hint pass (align_chunk, swipe.cc:339-414): an endpoint
+        hint with search16s tie semantics (ops.align_hint) replaces the
+        forward region pass when bestq > 0 and bestpos != 0 — required for
+        picking the same alignment when several optimal endpoints exist.
+        Factored per-hit so a multi-host run can route each hit to the
+        host owning its sequence (parallel.multihost).
+        """
+        from .ops.align_hint import hint_endpoint
+
+        self._fetch_hit(i, h)
+        if i >= self.opt_alignments:
+            return
+        hint = None
+        if self._hintable and h.score < scorelimit_16:
+            score, bestq, bestpos = hint_endpoint(
+                self._qseq(query, h.qstrand, h.qframe), h.dseq, matrix,
+                gapopen, gapextend)
+            if bestq > 0 and bestpos:
+                hint = (score, bestq, bestpos)
+        self._align_hit(h, query, matrix, gapopen, gapextend, hint)
 
     def align_all(self, query, matrix: np.ndarray, gapopen: int,
-                  gapextend: int, scorelimit_16: int = 1 << 62) -> None:
-        """Fetch headers for all kept hits; align those that are shown."""
+                  gapextend: int, scorelimit_16: int = 1 << 62,
+                  threads: int = 1) -> None:
+        """Fetch headers for all kept hits; align those that are shown.
+
+        The align phase mirrors the reference's structure (align_threads,
+        swipe.cc:527-647): the hint pass runs VECTORIZED across all shown
+        hits of a (qstrand, qframe) bin (ops.align_hint.hint_endpoints_many
+        — the kernel-batched analog of search16s over a bin), and the
+        gapped tracebacks fan out over ``threads`` workers (the -a flag;
+        the native aligner releases the GIL during the C call).
+        """
+        from .ops.align_hint import hint_endpoints_many
+
+        shown = []
         for i, h in enumerate(self.hits):
-            self.fill_hit(i, h, query, matrix, gapopen, gapextend,
-                          scorelimit_16)
+            self._fetch_hit(i, h)
+            if i < self.opt_alignments:
+                shown.append((i, h))
+
+        # batched hint pass per (qstrand, qframe) bin
+        hints: dict[int, tuple[int, int, int]] = {}
+        if self._hintable:
+            bins: dict[tuple[int, int], list] = {}
+            for i, h in shown:
+                if h.score < scorelimit_16:
+                    bins.setdefault((h.qstrand, h.qframe), []).append((i, h))
+            for (qs, qf), items in bins.items():
+                res = hint_endpoints_many(
+                    self._qseq(query, qs, qf), [h.dseq for _, h in items],
+                    matrix, gapopen, gapextend)
+                for (i, h), (score, bestq, bestpos) in zip(items, res):
+                    if bestq > 0 and bestpos:
+                        hints[i] = (score, bestq, bestpos)
+
+        def work(item):
+            i, h = item
+            self._align_hit(h, query, matrix, gapopen, gapextend,
+                            hints.get(i))
+
+        if threads > 1 and len(shown) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                list(ex.map(work, shown))
+        else:
+            for item in shown:
+                work(item)

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hint_endpoint"]
+__all__ = ["hint_endpoint", "hint_endpoints_many"]
 
 NEG = -(1 << 40)
 
@@ -61,3 +61,179 @@ def hint_endpoint(qseq: np.ndarray, dseq: np.ndarray, matrix: np.ndarray,
             bestpos = j
             bestq = int(np.argmax(H == S))  # smallest row attaining S
     return S, bestq, bestpos
+
+
+# int32 is provably sufficient for the batched passes: scores are
+# bounded by qlen * max(matrix) << 2^31 and the sentinel only ever
+# decays by R per column (bounded db lengths keep it far from overflow)
+NEG32 = -(1 << 28)
+
+# batched workloads above this many DP cells route to the device pass
+# when an accelerator is attached (a ~1 GCUPS NumPy hint pass would
+# dominate wall clock for -b 100 against long db sequences; the
+# reference runs search16s at SIMD speed for the same reason)
+DEVICE_CELLS = 50_000_000
+
+
+def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
+                        matrix: np.ndarray, gapopen: int, gapextend: int
+                        ) -> list[tuple[int, int, int]]:
+    """hint_endpoint for MANY db sequences at once (same query).
+
+    One vectorized pass over [nhits, qlen] state — the reference runs
+    its hint kernel on the whole displayed-hit bin per thread
+    (align_chunk, swipe.cc:339-414).  Tie semantics are identical to
+    hint_endpoint (first column attaining the final max; smallest row
+    within it).  Large batches run on the attached accelerator via the
+    lax twin; small ones stay in NumPy (no dispatch/compile latency).
+    """
+    if not dseqs:
+        return []
+    q = np.asarray(qseq, dtype=np.int64)
+    m = len(q)
+    mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
+    Q = gapopen + gapextend
+    R = gapextend
+    lens = np.array([len(d) for d in dseqs], dtype=np.int64)
+    n = len(dseqs)
+    maxlen = int(lens.max())
+
+    if n * maxlen * m > DEVICE_CELLS:
+        try:
+            import jax
+            if jax.default_backend() not in ("cpu",):
+                return _hint_endpoints_device(q, dseqs, lens, mat, Q, R)
+        except Exception:
+            pass
+
+    QP = mat[q, :].T.astype(np.int32)                 # (32, m)
+    dense = np.zeros((n, maxlen), dtype=np.int64)
+    for i, d in enumerate(dseqs):
+        dense[i, : len(d)] = np.asarray(d, dtype=np.int64)
+
+    H = np.zeros((n, m), dtype=np.int32)
+    E = np.full((n, m), NEG32, dtype=np.int32)
+    idxR = (np.arange(m, dtype=np.int64) * R).astype(np.int32)
+    S = np.zeros(n, dtype=np.int32)
+    bestpos = np.zeros(n, dtype=np.int64)
+    bestq = np.full(n, -1, dtype=np.int64)
+    for j in range(maxlen):
+        active = j < lens
+        if not active.any():
+            break
+        P = QP[dense[:, j], :]                        # (n, m)
+        E = np.maximum(E - R, H - Q)
+        diag = np.concatenate(
+            [np.zeros((n, 1), dtype=np.int32), H[:, :-1]], axis=1)
+        hnof = np.maximum(np.maximum(diag + P, E), 0)
+        A = np.maximum.accumulate(hnof + idxR, axis=1)
+        F = np.concatenate(
+            [np.full((n, 1), NEG32, dtype=np.int32), A[:, :-1]],
+            axis=1) - Q - idxR + R
+        H = np.maximum(hnof, F)
+        colmax = H.max(axis=1)
+        improve = active & (colmax > S)
+        if improve.any():
+            rows = np.argmax(H == colmax[:, None], axis=1)
+            S = np.where(improve, colmax, S)
+            bestpos = np.where(improve, j, bestpos)
+            bestq = np.where(improve, rows, bestq)
+        H = np.where(active[:, None], H, 0)
+        E = np.where(active[:, None], E, NEG32)
+    return [(int(S[i]), int(bestq[i]), int(bestpos[i])) for i in range(n)]
+
+
+_HINT_UNROLL = 8
+
+
+def _hint_lax_impl(QP, dense_t, lens, Q, R):
+    """lax twin of the batched hint pass: scan over db columns,
+    _HINT_UNROLL columns per scan step (a bare per-column scan is
+    step-overhead-bound on tiny [n, m] state).
+
+    QP: [32, m] int32; dense_t: [maxlen, n] int32; lens: [n] int32.
+    Tie semantics identical to the NumPy pass (argmax = smallest row /
+    first improving column).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m = QP.shape[1]
+    n = dense_t.shape[1]
+    idxR = jnp.arange(m, dtype=jnp.int32) * R
+    T = _HINT_UNROLL
+
+    def column(state, sym, j):
+        H, E, S, bq, bp = state
+        P = QP[sym]                                   # [n, m]
+        E = jnp.maximum(E - R, H - Q)
+        diag = jnp.concatenate(
+            [jnp.zeros((n, 1), jnp.int32), H[:, :-1]], axis=1)
+        hnof = jnp.maximum(jnp.maximum(diag + P, E), 0)
+        A = jax.lax.cummax(hnof + idxR, axis=1)
+        F = jnp.concatenate(
+            [jnp.full((n, 1), NEG32, jnp.int32), A[:, :-1]],
+            axis=1) - Q - idxR + R
+        H = jnp.maximum(hnof, F)
+        colmax = H.max(axis=1)
+        active = j < lens
+        improve = active & (colmax > S)
+        rows = jnp.argmax(H == colmax[:, None], axis=1).astype(jnp.int32)
+        S = jnp.where(improve, colmax, S)
+        bp = jnp.where(improve, j, bp)
+        bq = jnp.where(improve, rows, bq)
+        H = jnp.where(active[:, None], H, 0)
+        E = jnp.where(active[:, None], E, NEG32)
+        return H, E, S, bq, bp
+
+    def step(state, xs):
+        syms, j0 = xs                                 # [T, n], scalar
+        for t in range(T):
+            state = column(state, syms[t], j0 + t)
+        return state, None
+
+    init = (jnp.zeros((n, m), jnp.int32),
+            jnp.full((n, m), NEG32, jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.full((n,), -1, jnp.int32),
+            jnp.zeros((n,), jnp.int32))
+    maxlen = dense_t.shape[0]
+    (_, _, S, bq, bp), _ = jax.lax.scan(
+        step, init,
+        (dense_t.reshape(maxlen // T, T, n),
+         jnp.arange(0, maxlen, T, dtype=jnp.int32)))
+    return S, bq, bp
+
+
+_hint_lax_jit = None
+
+
+def _hint_endpoints_device(q, dseqs, lens, mat, Q, R):
+    """Run the batched hint pass on the attached accelerator.
+
+    Shapes are bucketed (hit count to 8, columns to 2048) so repeated
+    align phases reuse the compiled scan.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    global _hint_lax_jit
+    if _hint_lax_jit is None:
+        _hint_lax_jit = jax.jit(_hint_lax_impl,
+                                static_argnames=("Q", "R"))
+    n = len(dseqs)
+    n_pad = -(-n // 8) * 8
+    maxlen = int(lens.max())
+    len_pad = -(-maxlen // 2048) * 2048
+    dense_t = np.zeros((len_pad, n_pad), dtype=np.int32)
+    for i, d in enumerate(dseqs):
+        dense_t[: len(d), i] = np.asarray(d, dtype=np.int32)
+    QP = mat[q, :].T.astype(np.int32)
+    lens_pad = np.zeros(n_pad, dtype=np.int32)
+    lens_pad[:n] = lens
+    S, bq, bp = _hint_lax_jit(jnp.asarray(QP), jnp.asarray(dense_t),
+                              jnp.asarray(lens_pad), Q=int(Q), R=int(R))
+    S, bq, bp = np.asarray(S), np.asarray(bq), np.asarray(bp)
+    return [(int(S[i]), int(bq[i]), int(bp[i])) for i in range(n)]

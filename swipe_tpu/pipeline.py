@@ -98,6 +98,7 @@ class SearchParams:
     effdbsize: int = 0        # -z
     query_gencode: int = 1
     db_gencode: int = 1
+    threads: int = 1          # -a: align-phase worker pool width
 
     @property
     def gapopenextend(self) -> int:
@@ -386,7 +387,8 @@ class SearchEngine:
             hits.finalize()
             hits.align_all(query, self.matrix.matrix, p.gapopen,
                            p.gapextend,
-                           scorelimit_16=self.matrix.scorelimit_16)
+                           scorelimit_16=self.matrix.scorelimit_16,
+                           threads=p.threads)
         return hitlists
 
     def _count_tiers(self, timings: SearchTimings | None, scores, nq: int

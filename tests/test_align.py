@@ -195,6 +195,71 @@ def test_hint_no_strict_improvement_keeps_first(m62):
     assert bp == 0
 
 
+def test_hint_endpoints_many_matches_scalar(m62):
+    # the vectorized (per-bin) hint pass must be indistinguishable from
+    # the per-hit scalar pass, ties included
+    from swipe_tpu.ops.align_hint import hint_endpoint, hint_endpoints_many
+    rng = np.random.default_rng(51)
+    for go, ge, hi in ((11, 1, 26), (4, 2, 4)):
+        q = rng.integers(1, hi, size=40, dtype=np.int8)
+        dseqs = [rng.integers(1, hi, size=int(rng.integers(3, 120)),
+                              dtype=np.int8) for _ in range(60)]
+        got = hint_endpoints_many(q, dseqs, m62.matrix, go, ge)
+        want = [hint_endpoint(q, d, m62.matrix, go, ge) for d in dseqs]
+        assert got == want
+
+
+def test_hint_device_twin_matches_numpy(m62):
+    # the lax (device) hint pass must match the NumPy pass exactly,
+    # including bucket padding and tie rules
+    import numpy as _np
+
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(53)
+    q = rng.integers(1, 5, size=37, dtype=np.int8)
+    dseqs = [rng.integers(1, 5, size=int(rng.integers(5, 200)),
+                          dtype=np.int8) for _ in range(21)]
+    lens = _np.array([len(d) for d in dseqs], dtype=_np.int64)
+    mat = _np.asarray(m62.matrix, dtype=_np.int64).reshape(32, 32)
+    got = AH._hint_endpoints_device(q.astype(_np.int64), dseqs, lens,
+                                    mat, 12, 1)
+    want = [AH.hint_endpoint(q, d, m62.matrix, 11, 1) for d in dseqs]
+    assert got == want
+
+
+def test_align_all_threads_identical():
+    # -a N fans the gapped tracebacks over a worker pool; output must be
+    # byte-identical to the serial align phase
+    import io
+
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.pipeline import SearchEngine, SearchParams
+    rng = np.random.default_rng(52)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    q = "".join(rng.choice(AAl, 60))
+    fasta = ""
+    for i in range(80):
+        s = "".join(rng.choice(AAl, int(rng.integers(40, 200))))
+        if i % 7 == 0:
+            s = s[:10] + q[5:50] + s[10:]
+        fasta += f">s{i} t{i}\n{s}\n"
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="thr")
+    query = preprocess_query("q", q, 1, 3)
+
+    def run(threads):
+        params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                              descriptions=80, alignments=40, expect=1e9,
+                              threads=threads)
+        return SearchEngine(db, params, nseqs=8, backend="lax").search(query)
+
+    a, b = run(1), run(4)
+    assert [(h.seqno, h.score_align, h.alignment, h.align_q_start,
+             h.align_d_start) for h in a.hits] == \
+           [(h.seqno, h.score_align, h.alignment, h.align_q_start,
+             h.align_d_start) for h in b.hits]
+
+
 @pytest.mark.parametrize("go,ge", [(11, 1), (4, 2)])
 def test_hint_ties_match_bruteforce_random(m62, go, ge):
     from swipe_tpu.ops.align_hint import hint_endpoint
