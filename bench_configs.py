@@ -93,6 +93,8 @@ def config4(full: bool):
 
 
 def main():
+    from swipe_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
     full = "--full" in sys.argv
     only = [a for a in sys.argv[1:] if a.startswith("--cfg=")]
     want = only[0].split("=")[1].split(",") if only else ["2", "3", "4"]

@@ -60,7 +60,7 @@ from .sw_pallas import NEG_INF, PAD_SYMBOL
 __all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
            "build_matrix8", "build_qcodes", "KSEG", "SUB",
            "sw_scores_stream_carry", "sw_scores_stream_lax_carry",
-           "make_stream_state", "make_stream_state_lax"]
+           "make_stream_state", "make_stream_state_lax", "is_megacore"]
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
@@ -321,17 +321,37 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
                 cp.wait()
 
 
+def is_megacore() -> bool:
+    """True when the attached TPU has 2 TensorCores per chip (v4/v5p):
+    the stream kernel then marks its group axis "parallel" so Mosaic
+    splits query groups across the cores (each core instantiates its own
+    scratch).  Override with SWIPE_TPU_MEGACORE=0/1."""
+    import os
+    env = os.environ.get("SWIPE_TPU_MEGACORE")
+    if env is not None:
+        return env not in ("0", "")
+    try:
+        dev = jax.devices()[0]
+        if getattr(dev, "num_cores", 1) > 1:
+            return True
+        kind = getattr(dev, "device_kind", "").lower()
+        return "v4" in kind or "v5p" in kind or "v5 p" in kind
+    except Exception:
+        return False
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("gapopenextend", "gapextend", "clamp", "interpret",
-                     "qgroup"),
+                     "qgroup", "megacore"),
 )
 def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
                      db: jax.Array, start: jax.Array, *,
                      gapopenextend: int, gapextend: int,
                      clamp: int | None = None,
                      interpret: bool = False,
-                     qgroup: int = 1) -> jax.Array:
+                     qgroup: int = 1,
+                     megacore: bool = False) -> jax.Array:
     """Score queries against a lane-packed db chunk (stream kernel).
 
     qcodes:  [NQ, QLEN] int32 query codes, PAD_SYMBOL padded (build_qcodes)
@@ -410,12 +430,17 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
         out_shape=jax.ShapeDtypeStruct((nq_pad, nblocks, SUB, nl),
                                        jnp.int32),
         compiler_params=pltpu.CompilerParams(
-            # all axes are sequential: db blocks carry H/E state, the
-            # group axis reuses the same scratch, and group members share
-            # the block's dprofile.  On a megacore part (v4/v5p, 2
-            # TensorCores) the group axis could be marked "parallel" only
-            # with per-core scratch — revisit on multi-core hardware.
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # db blocks carry H/E state and members share the block's
+            # dprofile, so those axes are sequential.  Each GROUP's state
+            # lifecycle is self-contained (init at its own b==0/qg==0
+            # step), so the group axis is safely "parallel" on megacore
+            # parts (v4/v5p): Mosaic splits groups across the two
+            # TensorCores, each with its own scratch — ~2x batch
+            # throughput (is_megacore; single-core chips keep it
+            # sequential).
+            dimension_semantics=(
+                "parallel" if megacore else "arbitrary",
+                "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(qcodes, qlens, matrix8, db8, start32)

@@ -487,6 +487,23 @@ class SearchEngine:
                                     sw_scores_stream_long)
         p = self.params
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
+        # bucket the slot count to a power of two: a ragged tail batch
+        # would otherwise compile a fresh kernel shape mid-search
+        # (measured: a 40 s remote compile inside the timed window of the
+        # full config-4 run).  Dead slots carry qlen 0 — their row loop
+        # never executes, so the padding costs at most a few
+        # dprofile-only grid steps on the tail batch.
+        nslots = len(slots)
+        nslots_pad = 1
+        while nslots_pad < nslots:
+            nslots_pad *= 2
+        if nslots_pad != nslots:
+            from .ops.sw_pallas import PAD_SYMBOL
+            qc = np.concatenate(
+                [qc, np.full((nslots_pad - nslots, qlen_pad), PAD_SYMBOL,
+                             qc.dtype)], axis=0)
+            ql = np.concatenate(
+                [ql, np.zeros(nslots_pad - nslots, ql.dtype)], axis=0)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
         init_thr = jnp.asarray(
@@ -509,6 +526,9 @@ class SearchEngine:
         if not long:
             cap = dict(self.STREAM_CONFIGS)[nseqs]
             qgroup = min(max(cap // qlen_pad, 1), len(slots))
+        # v4/v5p: split query groups across the chip's two TensorCores
+        from .ops.sw_stream import is_megacore
+        megacore = not interpret and is_megacore()
         # keep a few chunks in flight: dispatch is async so device work
         # overlaps the host-side hit entry, but unbounded issue would keep
         # every upload + per-block dump buffer live at once (fatal for
@@ -527,8 +547,8 @@ class SearchEngine:
                                        gapopenextend=p.gapopenextend,
                                        gapextend=p.gapextend,
                                        interpret=interpret,
-                                       qgroup=qgroup)
-            sc = gather_scores(out, end_block, lane)  # [NSLOTS, n]
+                                       qgroup=qgroup, megacore=megacore)
+            sc = gather_scores(out, end_block, lane)[: len(slots)]
             if kbase < units.shape[0]:
                 pending.append((units, _chunk_reduce(
                     sc, init_thr, upper_thr, k=kbase,

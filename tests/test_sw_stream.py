@@ -205,6 +205,30 @@ def test_stream_qgroup_matches_oracle(m62, qgroup):
     assert np.array_equal(got, want)
 
 
+def test_stream_megacore_parallel_groups(m62, monkeypatch):
+    # the megacore flag marks the group axis "parallel"; each group's
+    # state is self-contained, so results must be identical (validated
+    # exact on the real chip too; 2-core throughput needs v4/v5p)
+    monkeypatch.setenv("SWIPE_TPU_MEGACORE", "1")
+    from swipe_tpu.ops.sw_stream import is_megacore
+    assert is_megacore()
+    rng = np.random.default_rng(60)
+    queries = _rand_seqs(rng, 5, 10, 60)
+    seqs = _rand_seqs(rng, 900, 1, 120)
+    ch = pack_stream(seqs, nseqs=1024)[0]
+    qc, ql = build_qcodes(queries, 64)
+    m8 = build_matrix8(m62.matrix)
+    out = sw_scores_stream(qc, ql, m8, ch.data, ch.start,
+                           gapopenextend=12, gapextend=1,
+                           interpret=True, qgroup=2, megacore=True)
+    got = np.asarray(gather_scores(out, ch.end_block, ch.lane))
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    full = np.zeros_like(want)
+    full[:, ch.seqnos] = got
+    assert np.array_equal(full, want)
+
+
 def test_pack_stream_carry_bounds_and_coverage():
     # every chunk footprint <= nseqs x max_cols regardless of member
     # length; every sequence ends exactly once; cuts at block multiples
