@@ -47,6 +47,8 @@ def main():
     on_tpu = jax.default_backend() not in ("cpu",)
 
     if on_tpu:
+        import functools
+
         from swipe_tpu.ops.sw_stream import (build_matrix8, build_qcodes,
                                              gather_scores, sw_scores_stream)
         m8 = jnp.asarray(build_matrix8(m.matrix))
@@ -57,6 +59,9 @@ def main():
         qcs = [tuple(map(jnp.asarray, build_qcodes([q], 256)))
                for q in queries]
 
+        # the whole rep (kernel over every chunk + score gather) is ONE
+        # jitted computation: each extra dispatch pays tunnel latency
+        @functools.partial(jax.jit, static_argnums=())
         def run(qc):
             parts = [gather_scores(
                 sw_scores_stream(qc[0], qc[1], m8, d, st,
