@@ -31,10 +31,13 @@ the report (the CLI wires this through ``--mh-procs/--mh-rank/
 --mh-coord``, and the N-process CPU test asserts byte-identical output
 vs the single-process run).
 
-Known limitation: units longer than ``max_cols`` are packed into
-stretched chunks on their owning host (bounded by that host's shard)
-rather than the single-host carry series; combining multi-host with
-chromosome-scale carry streaming is future work.
+Chromosome-scale sequences compose with multi-host: units longer than
+``max_cols`` are excluded from the owning host's lane pack and stream
+through that host's local carry series (``pipeline._iter_carry_scores``,
+bounded nseqs x max_cols chunks); the resulting (unit, score) tuples are
+tiny and are exchanged with one byte-allgather so every host enters the
+same union — giant-unit counters then fall out of ``enter_batch``'s own
+counting, identically on every host.
 """
 
 from __future__ import annotations
@@ -190,6 +193,17 @@ class MultiHostEngine(SearchEngine):
         self._local_seqs = [
             u.codes for u in self.db.search_units(symtype, (lo, hi))]
         assert len(self._local_seqs) == len(self._local_unit_ids)
+        # units longer than one chunk stream through this host's local
+        # carry series rather than stretching the lane pack (the same
+        # normal/giant split as the single-host engine)
+        lens = np.array([len(s) for s in self._local_seqs], dtype=np.int64)
+        giant = np.nonzero(lens > max_cols)[0]
+        normal = np.nonzero(lens <= max_cols)[0]
+        self._giant_ids = self._local_unit_ids[giant]
+        self._giant_seqs = [self._local_seqs[i] for i in giant]
+        self._local_unit_ids = self._local_unit_ids[normal]
+        self._local_seqs = [self._local_seqs[i] for i in normal]
+        self._carry_packs = {}
         # lanes per host must split evenly over the host's devices
         if nseqs % self._n_local:
             nseqs += self._n_local - nseqs % self._n_local
@@ -327,6 +341,27 @@ class MultiHostEngine(SearchEngine):
             self._mh_enter(slots, np.asarray(top), np.asarray(units),
                            np.asarray(totalh), np.asarray(obvious),
                            int(n16), int(n63), int(cells), timings)
+        self._mh_score_giants(
+            slots, qlen_pad, timings,
+            kind="stream" if use_pallas else "lax")
+
+    def _mh_score_giants(self, slots, qlen_pad, timings, *, kind):
+        """Chromosome-scale units under multi-host: local carry series,
+        global exchange.
+
+        Each host walks the bounded carry series for ITS giant units on
+        its local devices (the single-host chromosome path), then the
+        per-unit score rows — a handful of (unit, nslots-scores) tuples —
+        ride one byte-allgather so every host enters the identical union
+        in pid order.  Counters come from ``enter_batch``'s own counting
+        over the union, so totalhits/obvious/tier counts are global and
+        host-independent.  Collective: every process calls this every
+        batch (with an empty payload when it owns no giants)."""
+        local = [(units, np.asarray(sc)) for units, sc in
+                 self._iter_carry_scores(slots, qlen_pad, kind)]
+        for blob in _allgather_bytes(pickle.dumps(local)):
+            for units, sc in pickle.loads(blob):
+                self._enter_chunk(slots, units, sc, False, timings)
 
     def _mh_enter(self, slots, top, units, totalh, obvious, n16, n63,
                   cells, timings):

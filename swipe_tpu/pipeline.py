@@ -221,6 +221,7 @@ class SearchEngine:
         lens = np.array([len(s) for s in self._unit_seqs], dtype=np.int64)
         self._giant_ids = np.nonzero(lens > max_cols)[0].astype(np.int64)
         self._normal_ids = np.nonzero(lens <= max_cols)[0].astype(np.int64)
+        self._giant_seqs = [self._unit_seqs[i] for i in self._giant_ids]
         self._carry_packs: dict[int, list] = {}
         self._stream_packs: dict[int, list] = {}
         self._dev_stream: dict[int, list] = {}
@@ -270,8 +271,7 @@ class SearchEngine:
         from .batching import pack_stream_carry
         if nseqs not in self._carry_packs:
             self._carry_packs[nseqs] = pack_stream_carry(
-                [self._unit_seqs[i] for i in self._giant_ids],
-                nseqs=nseqs, max_cols=self._max_cols,
+                self._giant_seqs, nseqs=nseqs, max_cols=self._max_cols,
                 seqnos=self._giant_ids)
         return self._carry_packs[nseqs]
 
@@ -575,6 +575,21 @@ class SearchEngine:
         100 Mbp sequence runs in nseqs x max_cols memory — the transpose
         of sw_scores_stream_long's query tiling, matching the reference's
         unbounded-db-length semantics (search7.cc:787)."""
+        pending = []
+        for units, sc in self._iter_carry_scores(slots, qlen_pad, kind):
+            pending.append((units, sc))
+            if len(pending) >= self.CHUNK_WINDOW:
+                u, s = pending.pop(0)
+                self._enter_chunk(slots, u, s, False, timings)
+        for u, s in pending:
+            self._enter_chunk(slots, u, s, False, timings)
+
+    def _iter_carry_scores(self, slots, qlen_pad, kind):
+        """Walk the carry series, yielding (unit_ids, device scores
+        [nslots, n]) per chunk as each chunk's sequences end.
+
+        Consumers delay the host sync (np.asarray) by a chunk window so
+        kernel dispatches overlap with hit entry."""
         if self._giant_ids.size == 0:
             return
         import jax.numpy as jnp
@@ -605,7 +620,6 @@ class SearchEngine:
             h, e, s = make_stream_state(nq, qlen_pad, nseqs)
         else:
             h, e, s = make_stream_state_lax(nq, qlen_pad, nseqs)
-        pending = []
         for ch in chunks:
             data = jnp.asarray(ch.data_t).T
             startd = jnp.asarray(ch.start)
@@ -621,12 +635,7 @@ class SearchEngine:
             if len(ch.seqnos):
                 sc = gather_scores(out, jnp.asarray(ch.end_block),
                                    jnp.asarray(ch.lane))
-                pending.append((ch.seqnos, sc))
-            if len(pending) >= self.CHUNK_WINDOW:
-                units, sc = pending.pop(0)
-                self._enter_chunk(slots, units, sc, False, timings)
-        for units, sc in pending:
-            self._enter_chunk(slots, units, sc, False, timings)
+                yield ch.seqnos, sc
 
     def _enter_chunk(self, slots, units, payload, reduced, timings):
         if reduced:

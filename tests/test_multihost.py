@@ -115,6 +115,28 @@ def test_multihost_output_identical(mh_db, case):
     assert multi == single
 
 
+def test_multihost_chromosome_scale(mh_db, tmp_path):
+    """A unit longer than max_cols (16384 on the lax backend) streams
+    through the owning host's carry series; merged output must still be
+    byte-identical to the single-process run."""
+    rng = np.random.default_rng(21)
+    NT = list("ACGT")
+    qn = (mh_db / "qn.fa").read_text().splitlines()[1]
+    with open(tmp_path / "dbg.fa", "w") as f:
+        for i in range(24):
+            s = "".join(rng.choice(NT, int(rng.integers(80, 200))))
+            f.write(f">g{i} small {i}\n{s}\n")
+        giant = "".join(rng.choice(NT, 20000))
+        giant = giant[:9000] + qn + giant[9000:]
+        f.write(f">gX giant contig\n{giant}\n")
+    args = ["-p", "blastn", "-m", "9", "-e", "1000",
+            "-d", str(tmp_path / "dbg.fa"), "-i", str(mh_db / "qn.fa")]
+    single = _normalize(_run_single(args))
+    multi = _normalize(_run_multi(tmp_path, args, nproc=2))
+    assert multi == single
+    assert "gX" in single
+
+
 def test_multihost_blastn_strands(mh_db):
     args = ["-p", "blastn", "-m", "0", "-e", "1000",
             "-d", str(mh_db / "dbn.fa"), "-i", str(mh_db / "qn.fa")]
