@@ -211,16 +211,59 @@ _hint_lax_jit = None
 def _hint_endpoints_device(q, dseqs, lens, mat, Q, R):
     """Run the batched hint pass on the attached accelerator.
 
-    Shapes are bucketed (hit count to 8, columns to 2048) so repeated
-    align phases reuse the compiled scan.
+    int8-range matrices with queries that fit one VMEM tile go through
+    the Pallas hint kernel (ops.sw_stream.sw_hint_stream — the stream
+    kernel's recurrence plus in-kernel colmax/argrow tracking, the
+    search16s analog); everything else uses the lax scan twin.  Shapes
+    are bucketed (hit count, columns, query rows) so repeated align
+    phases reuse the compiled program.
     """
-    import functools
-
     import jax
+    m = len(q)
+    # the pallas route pads the hit bin to 1024 lanes; cap its HBM
+    # footprint so one chromosome-scale subject falls through to the lax
+    # scan (whose padding is 8 lanes) instead of allocating lanes x len
+    if (mat.min() >= -128 and mat.max() <= 127 and m <= 1024
+            and int(lens.max()) * 1024 <= (512 << 20)
+            and jax.default_backend() not in ("cpu",)):
+        try:
+            return _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R)
+        except Exception:
+            pass
+    return _hint_endpoints_lax(q, dseqs, lens, mat, Q, R)
+
+
+def _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R, interpret=False):
+    """Pallas hint-kernel route: one sequence per lane, PAD-padded."""
+    import jax.numpy as jnp
+
+    from .sw_pallas import PAD_SYMBOL
+    from .sw_stream import SUB, build_matrix8, build_qcodes, sw_hint_stream
+
+    n = len(dseqs)
+    lanes = SUB * 128                     # kernel minimum lane count
+    n_pad = -(-n // lanes) * lanes
+    maxlen = int(lens.max())
+    len_pad = -(-maxlen // 2048) * 2048   # multiple of KSEG
+    qlen_pad = max(128, -(-len(q) // 128) * 128)
+    qc, ql = build_qcodes([np.asarray(q)], qlen_pad)
+    dense = np.full((len_pad, n_pad), PAD_SYMBOL, dtype=np.int8)
+    for i, d in enumerate(dseqs):
+        dense[: len(d), i] = np.asarray(d, dtype=np.int8)
+    S, bq, bp = sw_hint_stream(
+        jnp.asarray(qc), jnp.asarray(ql),
+        jnp.asarray(build_matrix8(mat)), jnp.asarray(dense),
+        gapopenextend=int(Q), gapextend=int(R), interpret=interpret)
+    S, bq, bp = np.asarray(S), np.asarray(bq), np.asarray(bp)
+    return [(int(S[i]), int(bq[i]), int(bp[i])) for i in range(n)]
+
+
+def _hint_endpoints_lax(q, dseqs, lens, mat, Q, R):
     import jax.numpy as jnp
 
     global _hint_lax_jit
     if _hint_lax_jit is None:
+        import jax
         _hint_lax_jit = jax.jit(_hint_lax_impl,
                                 static_argnames=("Q", "R"))
     n = len(dseqs)

@@ -60,7 +60,9 @@ from .sw_pallas import NEG_INF, PAD_SYMBOL
 __all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
            "build_matrix8", "build_qcodes", "KSEG", "SUB",
            "sw_scores_stream_carry", "sw_scores_stream_lax_carry",
-           "make_stream_state", "make_stream_state_lax", "is_megacore"]
+           "make_stream_state", "make_stream_state_lax", "is_megacore",
+           "sw_hint_stream", "sw_scores_stream_carry_long",
+           "make_stream_state_long"]
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
@@ -568,6 +570,180 @@ def gather_scores(out: jax.Array, end_block: jax.Array, lane: jax.Array
     return out[:, end_block, lane]
 
 
+def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref,
+                 s_out, bq_out, bp_out,
+                 hst_ref, est_ref, hrow_ref, frow_ref,
+                 cm_ref, ra_ref, s_ref, bq_ref, bp_ref,
+                 oh_ref, dprof_ref, *, Q: int, R: int):
+    """One db-block step of the endpoint-hint kernel (search16s analog).
+
+    Same DP recurrence as _stream_kernel over one query and one sequence
+    per lane (no refill), plus endpoint tracking with the reference's
+    exact tie semantics (/root/reference/search16s.cc:397-404,523-530):
+    per column, cm/ra record the column max H and the SMALLEST row
+    attaining it (strict-greater update); after the row walk the block's
+    columns are folded into (S, bestq, bestpos) in ascending column
+    order, improving only on a strict running-max increase — so bestpos
+    is the first column attaining the final maximum.
+
+    Columns past a lane's sequence end need no masking: H there is
+    bounded by an earlier H minus a positive gap penalty (or 0), so the
+    strict colmax > S test can never fire.
+    """
+    b = pl.program_id(0)
+    nl = db_ref.shape[1]
+
+    @pl.when(b == 0)
+    def _init():
+        hst_ref[...] = jnp.zeros_like(hst_ref)
+        est_ref[...] = jnp.full_like(est_ref, NEG_INF)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        bq_ref[...] = jnp.full_like(bq_ref, -1)
+        bp_ref[...] = jnp.zeros_like(bp_ref)
+
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+    dblk = db_ref[...].astype(jnp.int32)
+    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+    dprof_ref[...] = jax.lax.dot_general(
+        m8_ref[...], oh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(32, KSEG, SUB, nl)
+
+    hrow_ref[...] = jnp.zeros_like(hrow_ref)
+    frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
+    cm_ref[...] = jnp.zeros_like(cm_ref)
+    ra_ref[...] = jnp.zeros_like(ra_ref)
+
+    qlen = ql_ref[0]
+
+    def row_body(rb, diag0):
+        base = rb * RU
+        qsyms = [qc_ref[0, base + k] for k in range(RU)]
+        hst_olds = [hst_ref[base + k] for k in range(RU)]
+        ehat = [est_ref[base + k] for k in range(RU)]
+        diag = [diag0] + hst_olds[: RU - 1]
+        hs = list(hst_olds)
+        for j in range(KSEG):
+            hprev = hrow_ref[j]
+            fhat = frow_ref[j]
+            hs = []
+            for k in range(RU):
+                p = dprof_ref[qsyms[k], j]
+                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
+                                jnp.maximum(ehat[k], fhat))
+                upd = h > cm_ref[j]
+                cm_ref[j] = jnp.where(upd, h, cm_ref[j])
+                ra_ref[j] = jnp.where(upd, base + k, ra_ref[j])
+                hq = h - Q
+                ehat[k] = jnp.maximum(ehat[k] - R, hq)
+                fhat = jnp.maximum(fhat - R, hq)
+                hs.append(h)
+            hrow_ref[j] = hs[-1]
+            frow_ref[j] = fhat
+            diag = [hprev] + hs[: RU - 1]
+        for k in range(RU):
+            hst_ref[base + k] = hs[k]
+            est_ref[base + k] = ehat[k]
+        return hst_olds[RU - 1]
+
+    nrb = (qlen + RU - 1) // RU
+    jax.lax.fori_loop(0, nrb, row_body, jnp.zeros((SUB, nl), jnp.int32))
+
+    for j in range(KSEG):
+        improve = cm_ref[j] > s_ref[...]
+        s_ref[...] = jnp.where(improve, cm_ref[j], s_ref[...])
+        bp_ref[...] = jnp.where(improve, b * KSEG + j, bp_ref[...])
+        bq_ref[...] = jnp.where(improve, ra_ref[j], bq_ref[...])
+
+    @pl.when(b == pl.num_programs(0) - 1)
+    def _emit():
+        s_out[...] = s_ref[...]
+        bq_out[...] = bq_ref[...]
+        bp_out[...] = bp_ref[...]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "interpret"),
+)
+def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
+                   db: jax.Array, *, gapopenextend: int, gapextend: int,
+                   interpret: bool = False):
+    """Endpoint hints for ONE query vs one db sequence per lane.
+
+    qcodes: [1, QLEN] int32 (build_qcodes), qlens: [1] int32,
+    matrix8: [32, 32] int8, db: [L, NSEQS] int8 — sequence i in lane i,
+    PAD_SYMBOL padded (no refill; one sequence per lane).
+    Returns (S, bestq, bestpos), each [NSEQS] int32, with search16s tie
+    semantics: bestpos = first db column attaining the final maximum,
+    bestq = smallest query row attaining it there; bestq = -1 when the
+    lane never scores above 0.  Runs the align phase's hint pass at
+    stream-kernel speed instead of the lax scan's cummax-bound rate.
+    """
+    nq, qlen_pad = qcodes.shape
+    L, nseqs = db.shape
+    if nq != 1:
+        raise ValueError("sw_hint_stream scores one query at a time")
+    if L % KSEG:
+        raise ValueError(f"db length {L} not a multiple of {KSEG}")
+    if nseqs % (SUB * 128):
+        raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
+    if qlen_pad % RU:
+        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of RU={RU}")
+    nl = nseqs // SUB
+    nblocks = L // KSEG
+    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+
+    kernel = functools.partial(_hint_kernel, Q=gapopenextend, R=gapextend)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KSEG * SUB, nl), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
+            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+        ],
+    )
+    s, bq, bp = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((SUB, nl), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(qcodes, qlens, matrix8, db8)
+    return s.reshape(nseqs), bq.reshape(nseqs), bp.reshape(nseqs)
+
+
 def _stream_lax_core(qcodes, qlens, matrix, db, start, h0, e0, s0, *,
                      gapopenextend: int, gapextend: int,
                      clamp: int | None):
@@ -847,6 +1023,301 @@ def _stream_tile_pass(qcodes, qlens, tile, matrix8, db8, start32, bh, bf,
         ),
         interpret=interpret,
     )(qcodes, qlens, tile, matrix8, db8, start32, bh, bf, sprev)
+
+
+def _stream_tile_carry_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref,
+                              start_ref, bh_ref, bf_ref, sp_ref,
+                              hin_ref, ein_ref, sin_ref, bh0c_ref,
+                              out_ref, bho_ref, bfo_ref,
+                              hout_ref, eout_ref, bh0o_ref,
+                              hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+                              bh0_ref, bhl_ref, oh_ref, dprof_ref, dma_sem,
+                              *, Q: int, R: int, tile_rows: int,
+                              clamp: int | None):
+    """One (query, db-block) step of one tile pass of the CARRY series
+    for long queries (sw_scores_stream_carry_long).
+
+    _stream_tile_kernel plus chunk-boundary state exchange: the tile's
+    H/E row state enters from HBM at block 0 (hin/ein[qi, tile]) and
+    leaves at the last block (hout/eout[qi]); bh0c[qi, tile] carries the
+    previous tile's bottom-row H at the previous chunk's LAST column
+    (the diagonal across the chunk cut), and bh0o[qi] emits this tile's
+    own bottom-row H at this chunk's last column — the wrapper stacks it
+    into slot tile+1 for the next chunk.  The carried running max S
+    loads only in the tile-0 pass (other tiles fold into the per-block
+    dump via sp).
+    """
+    qi = pl.program_id(0)
+    b = pl.program_id(1)
+    nl = db_ref.shape[1]
+    tile = tile_ref[0]
+
+    @pl.when(b == 0)
+    def _load():
+        cps = [pltpu.make_async_copy(hin_ref.at[qi, tile], hst_ref,
+                                     dma_sem.at[0]),
+               pltpu.make_async_copy(ein_ref.at[qi, tile], est_ref,
+                                     dma_sem.at[1]),
+               pltpu.make_async_copy(bh0c_ref.at[qi, tile], bh0_ref,
+                                     dma_sem.at[2])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+    @pl.when((b == 0) & (tile == 0))
+    def _load_s():
+        cp = pltpu.make_async_copy(sin_ref.at[qi], s_ref, dma_sem.at[0])
+        cp.start()
+        cp.wait()
+
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+    dblk = db_ref[...].astype(jnp.int32)
+    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+    dprof_ref[...] = jax.lax.dot_general(
+        m8_ref[...], oh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(32, KSEG, SUB, nl)
+
+    reset = start_ref[0] != 0
+    for j in range(KSEG):
+        hrow_ref[j] = bh_ref[0, 0, j]
+        frow_ref[j] = bf_ref[0, 0, j]
+
+    diag0_init = jnp.where(reset, 0, bh0_ref[...])
+    bh0_ref[...] = bh_ref[0, 0, KSEG - 1]
+
+    rows = jnp.clip(ql_ref[qi] - tile * tile_rows, 0, tile_rows)
+
+    def row_body(rb, carry):
+        diag0, s = carry
+        base = rb * RU
+        qsyms = [qc_ref[qi, tile * tile_rows + base + k]
+                 for k in range(RU)]
+        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
+                    for k in range(RU)]
+        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                for k in range(RU)]
+        diag = [diag0] + hst_olds[: RU - 1]
+        hs = list(hst_olds)
+        for j in range(KSEG):
+            hprev = hrow_ref[j]
+            fhat = frow_ref[j]
+            hs = []
+            for k in range(RU):
+                p = dprof_ref[qsyms[k], j]
+                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
+                                jnp.maximum(ehat[k], fhat))
+                if clamp is not None:
+                    h = jnp.minimum(h, clamp)
+                s = jnp.maximum(s, h)
+                hq = h - Q
+                ehat[k] = jnp.maximum(ehat[k] - R, hq)
+                fhat = jnp.maximum(fhat - R, hq)
+                hs.append(h)
+            hrow_ref[j] = hs[-1]
+            frow_ref[j] = fhat
+            diag = [hprev] + hs[: RU - 1]
+        for k in range(RU):
+            hst_ref[base + k] = hs[k]
+            est_ref[base + k] = ehat[k]
+        return hst_olds[RU - 1], s
+
+    _, s = jax.lax.fori_loop(
+        0, (rows + RU - 1) // RU, row_body,
+        (diag0_init, jnp.where(reset, 0, s_ref[...])))
+    s_ref[...] = s
+    out_ref[0, 0] = jnp.maximum(sp_ref[0, 0], s)
+    for j in range(KSEG):
+        bho_ref[0, 0, j] = hrow_ref[j]
+        bfo_ref[0, 0, j] = frow_ref[j]
+
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _store():
+        bhl_ref[...] = hrow_ref[KSEG - 1]
+        cps = [pltpu.make_async_copy(hst_ref, hout_ref.at[qi],
+                                     dma_sem.at[0]),
+               pltpu.make_async_copy(est_ref, eout_ref.at[qi],
+                                     dma_sem.at[1]),
+               pltpu.make_async_copy(bhl_ref, bh0o_ref.at[qi],
+                                     dma_sem.at[2])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gapopenextend", "gapextend", "tile_rows", "clamp",
+                     "interpret"),
+)
+def _stream_tile_carry_pass(qcodes, qlens, tile, matrix8, db8, start32,
+                            bh, bf, sprev, hin, ein, sin, bh0c, *,
+                            gapopenextend: int, gapextend: int,
+                            tile_rows: int, clamp: int | None,
+                            interpret: bool = False):
+    nq, qlen_pad = qcodes.shape
+    s8, nl = db8.shape
+    nblocks = s8 // (KSEG * SUB)
+    kernel = functools.partial(
+        _stream_tile_carry_kernel, Q=gapopenextend, R=gapextend,
+        tile_rows=tile_rows, clamp=clamp)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nq, nblocks),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, KSEG, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, SUB, nl), jnp.int32),
+            pltpu.VMEM((tile_rows, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
+            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, nblocks, KSEG, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, nblocks, KSEG, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, tile_rows, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, tile_rows, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qcodes, qlens, tile, matrix8, db8, start32, bh, bf, sprev,
+      hin, ein, sin, bh0c)
+
+
+def make_stream_state_long(nq: int, qlen_pad: int, nseqs: int,
+                           tile_rows: int = 512):
+    """Fresh carry state for sw_scores_stream_carry_long: (h, e, s, bh0c)
+    with h/e [NQ, ntiles, tile_rows, SUB, NL] and bh0c
+    [NQ, ntiles + 1, SUB, NL] (slot t = previous tile's bottom-row H at
+    the previous chunk's last column; slot 0 stays 0 — the virtual row
+    above the query)."""
+    nl = nseqs // SUB
+    ntiles = qlen_pad // tile_rows
+    return (jnp.zeros((nq, ntiles, tile_rows, SUB, nl), jnp.int32),
+            jnp.full((nq, ntiles, tile_rows, SUB, nl), NEG_INF, jnp.int32),
+            jnp.zeros((nq, SUB, nl), jnp.int32),
+            jnp.zeros((nq, ntiles + 1, SUB, nl), jnp.int32))
+
+
+def sw_scores_stream_carry_long(qcodes, qlens, matrix8, db, start,
+                                h, e, s, bh0c, *,
+                                gapopenextend: int, gapextend: int,
+                                tile_rows: int = 512,
+                                clamp: int | None = None,
+                                interpret: bool = False):
+    """Carry-series scoring for queries beyond one VMEM tile.
+
+    The composition of sw_scores_stream_long's query tiling with
+    sw_scores_stream_carry's chunk-boundary state exchange: each chunk
+    of a pack_stream_carry series runs ntiles tile passes (inter-tile
+    boundary planes bh/bf live per block within the chunk), and each
+    tile's H/E row state, the running S, and the tile-crossing diagonal
+    plane bh0c thread through HBM to the next chunk.  Matches the
+    reference's unbounded-db x unbounded-query semantics
+    (/root/reference/search7.cc:787, swipe.cc:1240) with O(tile_rows)
+    VMEM state.
+
+    h/e/s/bh0c come from make_stream_state_long; returns
+    (scores [NQ, nblocks, NSEQS], h', e', s', bh0c').  ``db``/``start``
+    may be narrower than the state's lane count (compact chunks); the
+    missing lanes are PAD-filled on device.
+    """
+    nq, qlen_pad = qcodes.shape
+    L, nseqs = db.shape
+    nseqs_state = h.shape[3] * h.shape[4]
+    if nseqs < nseqs_state:
+        db = jnp.concatenate(
+            [db, jnp.full((L, nseqs_state - nseqs), PAD_SYMBOL, db.dtype)],
+            axis=1)
+        start = jnp.concatenate(
+            [start,
+             jnp.zeros((start.shape[0], nseqs_state - nseqs), start.dtype)],
+            axis=1)
+        nseqs = nseqs_state
+    if qlen_pad % tile_rows:
+        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of "
+                         f"tile_rows {tile_rows}")
+    if L % KSEG:
+        raise ValueError(f"db length {L} not a multiple of {KSEG}")
+    if nseqs % (SUB * 128):
+        raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
+    nl = nseqs // SUB
+    nblocks = L // KSEG
+    ntiles = qlen_pad // tile_rows
+    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+    start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
+
+    bh = jnp.zeros((nq, nblocks, KSEG, SUB, nl), jnp.int32)
+    bf = jnp.full((nq, nblocks, KSEG, SUB, nl), NEG_INF, jnp.int32)
+    out = jnp.zeros((nq, nblocks, SUB, nl), jnp.int32)
+    new_h, new_e, new_bh0 = [], [], []
+    for t in range(ntiles):
+        out, bh, bf, ht, et, bh0t = _stream_tile_carry_pass(
+            qcodes, qlens, jnp.asarray([t], jnp.int32), matrix8, db8,
+            start32, bh, bf, out, h, e, s, bh0c,
+            gapopenextend=gapopenextend, gapextend=gapextend,
+            tile_rows=tile_rows, clamp=clamp, interpret=interpret)
+        new_h.append(ht)
+        new_e.append(et)
+        new_bh0.append(bh0t)
+    h2 = jnp.stack(new_h, axis=1)
+    e2 = jnp.stack(new_e, axis=1)
+    # slot t+1 <- tile t's bottom-row H at this chunk's last column;
+    # slot 0 stays the zero row above the query
+    bh0c2 = jnp.concatenate(
+        [jnp.zeros((nq, 1, SUB, nl), jnp.int32),
+         jnp.stack(new_bh0, axis=1)], axis=1)
+    s2 = out[:, nblocks - 1]
+    return out.reshape(nq, nblocks, nseqs), h2, e2, s2, bh0c2
 
 
 def sw_scores_stream_long(qcodes, qlens, matrix8, db, start, *,

@@ -19,12 +19,13 @@ swipe.cc:1365-1699).  Differences by design:
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 
 import numpy as np
 
-from .batching import PackedChunk, pack_database, pack_stream
+from .batching import PackedChunk, pack_database, pack_stream, round_up
 from .hits import HitList
 from .io.db import Database
 from .io.fasta import Query
@@ -78,6 +79,42 @@ def _chunk_reduce(sc, init_thr, upper, *, k: int, sl7: int, sl16: int):
         _chunk_reduce_jit = jax.jit(
             _chunk_reduce_impl, static_argnames=("k", "sl7", "sl16"))
     return _chunk_reduce_jit(sc, init_thr, upper, k, sl7, sl16)
+
+
+@functools.lru_cache(maxsize=128)
+def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
+                       megacore, nslots, topk, k, sl7, sl16):
+    """One jitted computation per configuration: stream kernel -> score
+    gather -> (optionally) device top-K reduction.
+
+    Folding the three device steps into a single dispatch removes two
+    host->device round-trips per chunk through the remote tunnel
+    (measured on the headline bench: 264 -> 405 GCUPS when the per-rep
+    dispatches were chained the same way) and lets XLA free the
+    per-block dump — up to 32 MB per slot on a full 65536-column chunk —
+    immediately after the gather instead of holding it for a second
+    dispatch."""
+    import jax
+
+    from .ops.sw_stream import (gather_scores, sw_scores_stream,
+                                sw_scores_stream_long)
+
+    def impl(qc, ql, m8, data, start, end_block, lane, init_thr, upper):
+        if long:
+            out = sw_scores_stream_long(
+                qc, ql, m8, data, start, gapopenextend=gapopenextend,
+                gapextend=gapextend, interpret=interpret)
+        else:
+            out = sw_scores_stream(
+                qc, ql, m8, data, start, gapopenextend=gapopenextend,
+                gapextend=gapextend, interpret=interpret,
+                qgroup=qgroup, megacore=megacore)
+        sc = gather_scores(out, end_block, lane)[:nslots]
+        if topk:
+            return _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16)
+        return sc
+
+    return jax.jit(impl)
 
 
 @dataclass
@@ -482,9 +519,7 @@ class SearchEngine:
                              interpret=False, long=False):
         import jax.numpy as jnp
 
-        from .ops.sw_stream import (build_matrix8, build_qcodes,
-                                    gather_scores, sw_scores_stream,
-                                    sw_scores_stream_long)
+        from .ops.sw_stream import build_matrix8, build_qcodes
         p = self.params
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         # bucket the slot count to a power of two: a ragged tail batch
@@ -537,35 +572,23 @@ class SearchEngine:
         for data, start, end_block, lane, units in \
                 self._dev_stream_chunks(
                     nseqs, self.LONG_MAX_COLS if long else None):
-            if long:
-                out = sw_scores_stream_long(qc, ql, m8, data, start,
-                                            gapopenextend=p.gapopenextend,
-                                            gapextend=p.gapextend,
-                                            interpret=interpret)
-            else:
-                out = sw_scores_stream(qc, ql, m8, data, start,
-                                       gapopenextend=p.gapopenextend,
-                                       gapextend=p.gapextend,
-                                       interpret=interpret,
-                                       qgroup=qgroup, megacore=megacore)
-            sc = gather_scores(out, end_block, lane)[: len(slots)]
-            if kbase < units.shape[0]:
-                pending.append((units, _chunk_reduce(
-                    sc, init_thr, upper_thr, k=kbase,
-                    sl7=self.matrix.scorelimit_7,
-                    sl16=self.matrix.scorelimit_16), True))
-            else:
-                pending.append((units, sc, False))
+            use_topk = kbase < units.shape[0]
+            step = _fused_stream_step(
+                long, interpret, p.gapopenextend, p.gapextend, qgroup,
+                megacore, len(slots), use_topk, kbase,
+                self.matrix.scorelimit_7, self.matrix.scorelimit_16)
+            payload = step(qc, ql, m8, data, start, end_block, lane,
+                           init_thr, upper_thr)
+            pending.append((units, payload, use_topk))
             if len(pending) >= self.CHUNK_WINDOW:
                 drain(pending.pop(0))
         for item in pending:
             drain(item)
-        # chromosome-scale units stream through the bounded carry series;
-        # queries beyond one VMEM tile (long) fall back to the lax twin
+        # chromosome-scale units stream through the bounded carry series
+        # (queries beyond one VMEM tile use its tiled-carry variant)
         self._score_carry_series(
             slots, qlen_pad, timings,
-            kind="lax" if long else
-            ("stream_interpret" if interpret else "stream"))
+            kind="stream_interpret" if interpret else "stream")
 
     def _score_carry_series(self, slots, qlen_pad, timings, *, kind):
         """Score the giant units against all slots via the carry series.
@@ -597,18 +620,29 @@ class SearchEngine:
         from .ops.sw_stream import (build_matrix8, build_matrix_wide,
                                     build_qcodes, gather_scores,
                                     make_stream_state, make_stream_state_lax,
+                                    make_stream_state_long,
                                     sw_scores_stream_carry,
+                                    sw_scores_stream_carry_long,
                                     sw_scores_stream_lax_carry)
         p = self.params
-        use_pallas = (kind in ("stream", "stream_interpret")
-                      and self.matrix.fits_int8 and qlen_pad <= 1024)
+        stream_kind = (kind in ("stream", "stream_interpret")
+                       and self.matrix.fits_int8)
+        interpret = kind == "stream_interpret"
+        # queries within one VMEM tile run the plain carry kernel;
+        # longer ones the tiled-carry variant (512-row tile passes with
+        # inter-tile boundary planes per chunk); non-int8 matrices and
+        # non-stream backends use the lax twin
+        mode = ("pallas" if stream_kind and qlen_pad <= 1024 else
+                "pallas_long" if stream_kind else "lax")
         # chunks come back compact (only the lanes that hold data); the
-        # pallas wrapper PAD-expands to its 1024-lane minimum on device,
-        # the lax twin runs at the compact width directly
+        # pallas wrappers PAD-expand to their 1024-lane minimum on
+        # device, the lax twin runs at the compact width directly
         chunks = self._carry_chunks(1024)
         if not chunks:
             return
-        nseqs = 1024 if use_pallas else chunks[0].nseqs
+        nseqs = 1024 if mode != "lax" else chunks[0].nseqs
+        if mode == "pallas_long":
+            qlen_pad = round_up(qlen_pad, 512)
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         if self.matrix.fits_int8:
@@ -616,18 +650,25 @@ class SearchEngine:
         else:
             mat = jnp.asarray(build_matrix_wide(self.matrix.matrix))
         nq = len(slots)
-        if use_pallas:
+        if mode == "pallas":
             h, e, s = make_stream_state(nq, qlen_pad, nseqs)
+        elif mode == "pallas_long":
+            h, e, s, bh0c = make_stream_state_long(nq, qlen_pad, nseqs)
         else:
             h, e, s = make_stream_state_lax(nq, qlen_pad, nseqs)
         for ch in chunks:
             data = jnp.asarray(ch.data_t).T
             startd = jnp.asarray(ch.start)
-            if use_pallas:
+            if mode == "pallas":
                 out, h, e, s = sw_scores_stream_carry(
                     qc, ql, mat, data, startd, h, e, s,
                     gapopenextend=p.gapopenextend, gapextend=p.gapextend,
-                    interpret=(kind == "stream_interpret"))
+                    interpret=interpret)
+            elif mode == "pallas_long":
+                out, h, e, s, bh0c = sw_scores_stream_carry_long(
+                    qc, ql, mat, data, startd, h, e, s, bh0c,
+                    gapopenextend=p.gapopenextend, gapextend=p.gapextend,
+                    interpret=interpret)
             else:
                 out, h, e, s = sw_scores_stream_lax_carry(
                     qc, ql, mat, data, startd, h, e, s,

@@ -227,6 +227,25 @@ def test_hint_device_twin_matches_numpy(m62):
     assert got == want
 
 
+def test_hint_pallas_kernel_matches_numpy(m62):
+    # the Pallas hint kernel (search16s analog) must reproduce the NumPy
+    # pass exactly — scores, smallest-row / first-column tie rules, and
+    # the (-1, 0) no-score sentinel — across lane padding and RU edges
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(54)
+    for go, ge, qlen in ((11, 1, 37), (4, 2, 130)):
+        q = rng.integers(1, 4, size=qlen, dtype=np.int8)
+        dseqs = [rng.integers(1, 4, size=int(rng.integers(3, 220)),
+                              dtype=np.int8) for _ in range(19)]
+        dseqs.append(np.array([25, 25, 25], dtype=np.int8))  # score-0 lane
+        lens = np.array([len(d) for d in dseqs], dtype=np.int64)
+        mat = np.asarray(m62.matrix, dtype=np.int64).reshape(32, 32)
+        got = AH._hint_endpoints_pallas(q.astype(np.int64), dseqs, lens,
+                                        mat, go + ge, ge, interpret=True)
+        want = [AH.hint_endpoint(q, d, m62.matrix, go, ge) for d in dseqs]
+        assert got == want
+
+
 def test_align_all_threads_identical():
     # -a N fans the gapped tracebacks over a worker pool; output must be
     # byte-identical to the serial align phase

@@ -559,6 +559,34 @@ def test_engine_giant_sequences(backend):
     assert hits.hits[0].alignment            # align phase ran on the giant
 
 
+def test_engine_long_query_giant_sequence():
+    # a query beyond one VMEM tile vs a chromosome-scale unit: the carry
+    # series must route through the tiled-carry kernel (pallas_long) and
+    # match the oracle exactly
+    rng = np.random.default_rng(34)
+    q = "".join(rng.choice(list(AA), 1100))
+    parts = [(f"s{i} normal {i}",
+              "".join(rng.choice(list(AA), int(rng.integers(30, 100)))))
+             for i in range(12)]
+    parts.append(("s12 giant with planted hit",
+                  "".join(rng.choice(list(AA), 1500)) + q[300:420]
+                  + "".join(rng.choice(list(AA), 1400))))
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="longgiant")
+    query = preprocess_query("q", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=13, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret",
+                       max_cols=2048)
+    assert eng._giant_ids.size == 1
+    hits = eng.search(query)
+    seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(len(parts))]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    for h in hits.hits:
+        assert h.score == want[h.seqno]
+    assert hits.hits[0].seqno == 12
+
+
 def test_engine_all_units_giant():
     # a db of ONLY chromosome-scale sequences: the normal pack is empty
     # and everything flows through the carry series

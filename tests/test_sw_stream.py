@@ -293,6 +293,40 @@ def test_stream_carry_matches_oracle(m62):
     assert np.array_equal(got, want)
 
 
+def test_stream_carry_long_matches_oracle(m62):
+    # queries beyond one VMEM tile x sequences cut across carry chunks:
+    # the tiled-carry kernel threads H/E row state, S, and the
+    # tile-crossing diagonal plane through chunk boundaries; every
+    # combination of (tile boundary, chunk cut, lane refill) must score
+    # exactly like the uncut oracle
+    from swipe_tpu.batching import pack_stream_carry
+    from swipe_tpu.ops.sw_stream import (make_stream_state_long,
+                                         sw_scores_stream_carry_long)
+    rng = np.random.default_rng(29)
+    # 3 tiles of 64 rows; the short query exercises rows=0 tail tiles
+    queries = [rng.integers(1, 26, size=150, dtype=np.int8),
+               rng.integers(1, 26, size=40, dtype=np.int8)]
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in [1400, 620] + list(rng.integers(1, 120, size=500))]
+    chunks = pack_stream_carry(seqs, nseqs=1024, max_cols=256)
+    assert len(chunks) >= 4
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    qc, ql = build_qcodes(queries, 192)
+    m8 = build_matrix8(m62.matrix)
+
+    h, e, s, bh0c = make_stream_state_long(2, 192, 1024, tile_rows=64)
+    got = np.zeros((2, len(seqs)), dtype=np.int64)
+    for ch in chunks:
+        out, h, e, s, bh0c = sw_scores_stream_carry_long(
+            qc, ql, m8, ch.data, ch.start, h, e, s, bh0c,
+            gapopenextend=12, gapextend=1, tile_rows=64, interpret=True)
+        if len(ch.seqnos):
+            got[:, ch.seqnos] = np.asarray(
+                gather_scores(out, ch.end_block, ch.lane))
+    assert np.array_equal(got, want)
+
+
 def test_stream_carry_wide_matrix_lax():
     # non-int8 matrices route through build_matrix_wide + the lax twin
     import jax.numpy as jnp
