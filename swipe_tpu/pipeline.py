@@ -628,6 +628,16 @@ class SearchEngine:
         stream_kind = (kind in ("stream", "stream_interpret")
                        and self.matrix.fits_int8)
         interpret = kind == "stream_interpret"
+        # a FEW chromosome-scale units would idle almost every lane of
+        # the carry kernel (one sequence = one lane of 1024 — the
+        # reference's SSE channels degrade the same way); the wavefront
+        # kernel instead parallelizes WITHIN each (query, sequence)
+        # pair, so it wins until the giants can fill the carry lanes
+        if (stream_kind and qlen_pad <= 1024
+                and len(self._giant_ids) <= self.WAVEFRONT_MAX_GIANTS):
+            yield from self._iter_wavefront_scores(slots, qlen_pad,
+                                                   interpret)
+            return
         # queries within one VMEM tile run the plain carry kernel;
         # longer ones the tiled-carry variant (512-row tile passes with
         # inter-tile boundary planes per chunk); non-int8 matrices and
@@ -677,6 +687,28 @@ class SearchEngine:
                 sc = gather_scores(out, jnp.asarray(ch.end_block),
                                    jnp.asarray(ch.lane))
                 yield ch.seqnos, sc
+
+    # giants at or below this count score via the wavefront kernel; above
+    # it they lane-pack into the carry series (which amortizes once
+    # enough giants keep its 1024 lanes busy)
+    WAVEFRONT_MAX_GIANTS = 64
+
+    def _iter_wavefront_scores(self, slots, qlen_pad, interpret):
+        """Score each giant unit with the anti-diagonal wavefront kernel
+        (ops.sw_wavefront): full-width VPU steps on ONE (query, sequence)
+        pair, streamed through fixed-width segments."""
+        import jax.numpy as jnp
+
+        from .ops.sw_stream import build_matrix8, build_qcodes
+        from .ops.sw_wavefront import build_mq, sw_wavefront_scores
+        p = self.params
+        qc, _ = build_qcodes([s[3] for s in slots], qlen_pad)
+        mq = jnp.asarray(build_mq(qc, build_matrix8(self.matrix.matrix)))
+        for gid, seq in zip(self._giant_ids, self._giant_seqs):
+            sc = sw_wavefront_scores(
+                mq, seq, gapopenextend=p.gapopenextend,
+                gapextend=p.gapextend, interpret=interpret)
+            yield np.array([gid], dtype=np.int64), sc[:, None]
 
     def _enter_chunk(self, slots, units, payload, reduced, timings):
         if reduced:

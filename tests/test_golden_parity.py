@@ -364,11 +364,12 @@ def test_golden_long_db_sequence(ref_swipe, tmp_path):
     (tmp_path / "qn.fa").write_text(f">qlong nt query\n{qn}\n")
     qp = "".join(rng.choice(AAl, 60))
     (tmp_path / "qp.fa").write_text(f">qlongp aa query\n{qp}\n")
-    for args in (["-p", "blastn", "-m", "9", "-i", str(tmp_path / "qn.fa")],
-                 ["-p", "blastn", "-m", "0", "-b", "3",
-                  "-i", str(tmp_path / "qn.fa")],
-                 ["-p", "tblastn", "-m", "9", "-e", "1000",
-                  "-i", str(tmp_path / "qp.fa")]):
+    for i, args in enumerate(
+            (["-p", "blastn", "-m", "9", "-i", str(tmp_path / "qn.fa")],
+             ["-p", "blastn", "-m", "0", "-b", "3",
+              "-i", str(tmp_path / "qn.fa")],
+             ["-p", "tblastn", "-m", "9", "-e", "1000",
+              "-i", str(tmp_path / "qp.fa")])):
         full = args + ["-d", str(tmp_path / "longdb")]
         ref_out = _normalize(run_ref(ref_swipe, full))
         our_out = _normalize(run_ours(full))
@@ -376,6 +377,13 @@ def test_golden_long_db_sequence(ref_swipe, tmp_path):
         assert our_out == ref_out, (
             f"long-seq mismatch for {args}\n"
             + "\n".join(_first_diff(ref_out, our_out)))
+        if i == 0:
+            # the stream backend routes the lone giant through the
+            # wavefront kernel — keep that path in the byte-parity loop
+            wf_out = _normalize(run_ours(full, backend="stream_interpret"))
+            assert wf_out == ref_out, (
+                "wavefront long-seq mismatch\n"
+                + "\n".join(_first_diff(ref_out, wf_out)))
 
 
 def test_golden_asymmetric_matrix(ref_swipe, dbs, tmp_path):

@@ -526,7 +526,8 @@ def test_device_topk_tie_membership_translated():
            [(h.seqno, h.score, h.dstrand, h.dframe) for h in ref.hits]
 
 
-@pytest.mark.parametrize("backend", ["stream_interpret", "lax"])
+@pytest.mark.parametrize("backend", ["stream_interpret", "lax",
+                                     "stream_interpret_carry"])
 def test_engine_giant_sequences(backend):
     # db sequences longer than one chunk stream through the bounded carry
     # series (chromosome-scale capability); scores and the align phase
@@ -548,7 +549,12 @@ def test_engine_giant_sequences(backend):
     query = preprocess_query("q", q, 1, 3)
     params = SearchParams(symtype=1, gapopen=11, gapextend=1,
                           descriptions=40, alignments=3, expect=1e9)
-    eng = SearchEngine(db, params, backend=backend, max_cols=2048)
+    # the carry variant pins the lane-packed carry series (the route for
+    # giant-heavy databases); plain stream_interpret takes the wavefront
+    eng = SearchEngine(db, params, max_cols=2048,
+                       backend=backend.removesuffix("_carry"))
+    if backend.endswith("_carry"):
+        eng.WAVEFRONT_MAX_GIANTS = 0
     assert eng._giant_ids.size == 2
     hits = eng.search(query)
     seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(len(parts))]
