@@ -66,22 +66,29 @@ def build_mq(qcodes: np.ndarray, matrix8: np.ndarray) -> np.ndarray:
     return np.asarray(matrix8, dtype=np.int8)[np.asarray(qcodes)]
 
 
+# edge-ring slot for row i is i + RING_OFF: the offset keeps every
+# (possibly batched) ring write at a non-negative slot with no clamping
+RING_OFF = 8
+RING_PAD = 24
+
+
 def make_wavefront_state(nq: int, qlen_pad: int):
     """Fresh cross-segment state (eh, ee, s): the strip-boundary edge
     ring (H and E of the rightmost column, by row) and the running max."""
-    return (jnp.zeros((nq, qlen_pad + SUB, 1, BLK), jnp.int32),
-            jnp.full((nq, qlen_pad + SUB, 1, BLK), NEG_INF, jnp.int32),
+    return (jnp.zeros((nq, qlen_pad + RING_PAD, BLK), jnp.int32),
+            jnp.full((nq, qlen_pad + RING_PAD, BLK), NEG_INF, jnp.int32),
             jnp.zeros((nq, SUB, BLK), jnp.int32))
 
 
 def _wavefront_kernel(mq_ref, db_ref, ehin_ref, eein_ref, sin_ref,
                       ehout_ref, eeout_ref, sout_ref,
                       qp_ref, qprofs_ref, eh_ref, ee_ref, s_ref, sub_ref,
-                      z_ref, oh_ref, dma_sem, *, Q: int, R: int,
+                      z_ref, mask_ref, oh_ref, dma_sem, *, Q: int, R: int,
                       qlen_pad: int):
     qi = pl.program_id(0)
     strip = pl.program_id(1)
     nsteps = qlen_pad + SUB - 1
+    T = 8                       # substeps per loop iteration (batched IO)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (SUB, BLK), 1)
     # the sublane iota round-trips through scratch: as a constant it is
@@ -91,6 +98,12 @@ def _wavefront_kernel(mq_ref, db_ref, ehin_ref, eein_ref, sin_ref,
     sub_ref[...] = jax.lax.broadcasted_iota(jnp.int32, (SUB, BLK), 0)
     sub = sub_ref[...]
     idxR = lane * R
+    # prefix masks (0 where the rolled-in value is real, -inf where it
+    # wrapped): stored then reloaded so the loop sees concrete layouts,
+    # turning the prefix's select into a plain add
+    KS = (1, 2, 4, 8, 16, 32, 64)
+    for i, k in enumerate(KS):
+        mask_ref[i] = jnp.where(lane >= k, 0, NEG_INF)
 
     @pl.when(strip == 0)
     def _load():
@@ -118,59 +131,69 @@ def _wavefront_kernel(mq_ref, db_ref, ehin_ref, eein_ref, sin_ref,
         # reads rows (m - s) of every block as one [SUB, BLK] access
         qprofs_ref[s: s + qlen_pad, s, :] = qp_ref[:, s, :]
 
-    def step(m, carry):
+    mk = [mask_ref[i] for i in range(len(KS))]
+    is0 = mk[0] < 0                         # lane-0 predicate, concrete
+
+    def step(it, carry):
         h1, f1, ex1h, ex1e, ex2h, prev_eh, s = carry
-        tloc = m - sub                                       # [SUB, BLK]
+        m0 = it * T
+        # batched ring/profile IO: one dynamic-offset read per T substeps
+        # (per-substep dynamic indexing dominated the unbatched kernel)
+        ehrows = eh_ref[pl.ds(m0 + RING_OFF, T)]             # [T, BLK]
+        eerows = ee_ref[pl.ds(m0 + RING_OFF, T)]
+        Ps = qprofs_ref[pl.ds(m0, T)]                        # [T, SUB, BLK]
+        weh, wee = [], []
+        for t in range(T):
+            eh = ehrows[t: t + 1]                            # [1, BLK]
+            ee = eerows[t: t + 1]
+            # left boundaries: blocks 1-7 from the neighbor's exports
+            # (H/E one step back, H two steps back for the diagonal);
+            # block 0 from the previous strip through the edge ring
+            lbH = jnp.concatenate([eh, ex1h[: SUB - 1]], axis=0)
+            lbE = jnp.concatenate([ee, ex1e[: SUB - 1]], axis=0)
+            dinj = jnp.concatenate([prev_eh, ex2h[: SUB - 1]], axis=0)
 
-        eh = eh_ref[m]                                       # [1, BLK]
-        ee = ee_ref[m]
-        # left boundaries: blocks 1-7 from the neighbor's exports (H/E
-        # one step back, H two steps back for the diagonal); block 0
-        # from the previous strip through the edge ring.  Shifts are
-        # written as concatenate+slice — Mosaic legalizes tpu.concatenate
-        # on both axes, while roll+select mixes layouts it cannot
-        # reconcile ("invalid relayout {0,0} -> {0,*}" on real hardware)
-        lbH = jnp.concatenate([eh, ex1h[: SUB - 1]], axis=0)
-        lbE = jnp.concatenate([ee, ex1e[: SUB - 1]], axis=0)
-        dinj = jnp.concatenate([prev_eh, ex2h[: SUB - 1]], axis=0)
+            P = Ps[t]                                        # [SUB, BLK]
+            diag = jnp.where(is0, dinj, pltpu.roll(h1, 1, 1))
+            F = jnp.maximum(f1 - R, h1 - Q)
+            hnoE = jnp.maximum(jnp.maximum(diag + P, F), 0)
+            # lazy E via in-lane prefix max (rolled-in wraps are killed
+            # by the -inf mask ADD), seeded by the left boundary
+            lbv = jnp.maximum(lbE - R, lbH - Q)              # E at col 0
+            B = hnoE + idxR
+            for i, k in enumerate(KS):
+                B = jnp.maximum(B, pltpu.roll(B, k, 1) + mk[i])
+            Bs = pltpu.roll(B, 1, 1) + mk[0]
+            E = jnp.maximum(Bs - (Q - R), lbv) - idxR
+            H = jnp.maximum(hnoE, E)
 
-        P = qprofs_ref[m]                                    # [SUB, BLK]
-        diag = jnp.concatenate([dinj[:, 0:1], h1[:, : BLK - 1]], axis=1)
-        F = jnp.maximum(f1 - R, h1 - Q)
-        hnoE = jnp.maximum(jnp.maximum(diag + P, F), 0)
-        # lazy E via in-lane prefix max, seeded by the left boundary
-        lbv = jnp.maximum(lbE - R, lbH - Q)                  # E at column 0
-        neg = jnp.full((SUB, 64), NEG_INF, jnp.int32)
-        B = hnoE + idxR
-        for k in (1, 2, 4, 8, 16, 32, 64):
-            B = jnp.maximum(
-                B, jnp.concatenate([neg[:, :k], B[:, : BLK - k]], axis=1))
-        Bs = jnp.concatenate([neg[:, :1], B[:, : BLK - 1]], axis=1)
-        E = jnp.maximum(Bs - (Q - R), lbv) - idxR
-        H = jnp.maximum(hnoE, E)
+            tloc = m0 + t - sub                              # [SUB, BLK]
+            active = (tloc >= 0) & (tloc < qlen_pad)
+            s = jnp.maximum(s, jnp.where(active, H, 0))
+            # pre-active override: until its first row, a block's state
+            # is the virtual row above the matrix (H = 0, E/F = -inf) so
+            # the exports consumed at activation are exact boundaries
+            live = tloc >= 0
+            h1 = jnp.where(live, H, 0)
+            En = jnp.where(live, E, NEG_INF)
+            f1 = jnp.where(live, F, NEG_INF)
 
-        active = (tloc >= 0) & (tloc < qlen_pad)
-        s = jnp.maximum(s, jnp.where(active, H, 0))
-        # pre-active override: until its first row, a block's state is
-        # the virtual row above the matrix (H = 0, E/F = -inf) so the
-        # exports consumed at activation are exact boundaries
-        live = tloc >= 0
-        Hn = jnp.where(live, H, 0)
-        En = jnp.where(live, E, NEG_INF)
-        Fn = jnp.where(live, F, NEG_INF)
-
-        # strip-boundary ring: block 7's column-127 values, stored by
-        # row; writes trail this step's reads by 7 rows, so the ring
-        # still holds the previous strip where it has not been reached
-        widx = jnp.maximum(m - (SUB - 1), 0)
-        eh_ref[widx] = jnp.broadcast_to(Hn[SUB - 1:SUB, BLK - 1:BLK],
-                                        (1, BLK))
-        ee_ref[widx] = jnp.broadcast_to(En[SUB - 1:SUB, BLK - 1:BLK],
-                                        (1, BLK))
-
-        nex1h = jnp.broadcast_to(Hn[:, BLK - 1:BLK], (SUB, BLK))
-        nex1e = jnp.broadcast_to(En[:, BLK - 1:BLK], (SUB, BLK))
-        return Hn, Fn, nex1h, nex1e, ex1h, eh, s
+            weh.append(jnp.broadcast_to(h1[SUB - 1:SUB, BLK - 1:BLK],
+                                        (1, BLK)))
+            wee.append(jnp.broadcast_to(En[SUB - 1:SUB, BLK - 1:BLK],
+                                        (1, BLK)))
+            ex2h = ex1h
+            ex1h = jnp.broadcast_to(h1[:, BLK - 1:BLK], (SUB, BLK))
+            ex1e = jnp.broadcast_to(En[:, BLK - 1:BLK], (SUB, BLK))
+            prev_eh = eh
+        # strip-boundary ring: block 7's column-127 values by row; row i
+        # lands at slot i + RING_OFF, written T at a time.  Substep t
+        # writes row m0+t-7 -> slot m0+t+1, so the batch touches
+        # [m0+1, m0+T] — at or below this iteration's read base m0+8,
+        # and the one shared slot was read (previous strip) first
+        eh_ref[pl.ds(m0 + 1, T)] = jnp.concatenate(weh, axis=0)
+        ee_ref[pl.ds(m0 + 1, T)] = jnp.concatenate(wee, axis=0)
+        return h1, f1, ex1h, ex1e, ex2h, prev_eh, s
 
     # loop-carry inits derive from a memory load so they enter the scan
     # in the concrete vector layout: splat-constant inits (even x*0,
@@ -180,7 +203,7 @@ def _wavefront_kernel(mq_ref, db_ref, ehin_ref, eein_ref, sin_ref,
     z = z_ref[...]
     negc = z + NEG_INF
     carry = (z, negc, z, negc, z, z[0:1], s_ref[...])
-    carry = jax.lax.fori_loop(0, nsteps, step, carry)
+    carry = jax.lax.fori_loop(0, -(-nsteps // T), step, carry)
     s_ref[...] = carry[-1]
 
     @pl.when(strip == pl.num_programs(1) - 1)
@@ -244,18 +267,21 @@ def sw_wavefront(mq: jax.Array, db: jax.Array, eh: jax.Array,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nq, qlen_pad + SUB, 1, BLK), jnp.int32),
-            jax.ShapeDtypeStruct((nq, qlen_pad + SUB, 1, BLK), jnp.int32),
+            jax.ShapeDtypeStruct((nq, qlen_pad + RING_PAD, BLK),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((nq, qlen_pad + RING_PAD, BLK),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((nq, SUB, BLK), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((qlen_pad, SUB, BLK), jnp.int32),
             pltpu.VMEM((qlen_pad + SUB, SUB, BLK), jnp.int32),
-            pltpu.VMEM((qlen_pad + SUB, 1, BLK), jnp.int32),
-            pltpu.VMEM((qlen_pad + SUB, 1, BLK), jnp.int32),
+            pltpu.VMEM((qlen_pad + RING_PAD, BLK), jnp.int32),
+            pltpu.VMEM((qlen_pad + RING_PAD, BLK), jnp.int32),
             pltpu.VMEM((SUB, BLK), jnp.int32),
             pltpu.VMEM((SUB, BLK), jnp.int32),
             pltpu.VMEM((SUB, BLK), jnp.int32),
+            pltpu.VMEM((7, SUB, BLK), jnp.int32),
             pltpu.VMEM((32, SUB, BLK), jnp.int8),
             pltpu.SemaphoreType.DMA((3,)),
         ],

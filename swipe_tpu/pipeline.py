@@ -628,16 +628,23 @@ class SearchEngine:
         stream_kind = (kind in ("stream", "stream_interpret")
                        and self.matrix.fits_int8)
         interpret = kind == "stream_interpret"
-        # a FEW chromosome-scale units would idle almost every lane of
-        # the carry kernel (one sequence = one lane of 1024 — the
-        # reference's SSE channels degrade the same way); the wavefront
-        # kernel instead parallelizes WITHIN each (query, sequence)
-        # pair, so it wins until the giants can fill the carry lanes
-        if (stream_kind and qlen_pad <= 1024
-                and len(self._giant_ids) <= self.WAVEFRONT_MAX_GIANTS):
-            yield from self._iter_wavefront_scores(slots, qlen_pad,
-                                                   interpret)
-            return
+        # chromosome-scale units normally score via exact overlapped
+        # segmentation on the full-occupancy stream kernel (a positive-
+        # score local alignment has bounded db-span, so a piece overlap
+        # of that bound makes max-over-pieces exact); pathological
+        # scoring parameters (huge maxS/R) blow the bound up, in which
+        # case a FEW giants go to the wavefront kernel (intra-pair
+        # parallelism) and many giants lane-pack into the carry series
+        if stream_kind and qlen_pad <= 1024:
+            V = self._overlap_bound(qlen_pad)
+            if self.SEGMENT_GIANTS and V <= self._max_cols // 2:
+                yield from self._iter_segmented_giants(
+                    slots, qlen_pad, V, interpret)
+                return
+            if len(self._giant_ids) <= self.WAVEFRONT_MAX_GIANTS:
+                yield from self._iter_wavefront_scores(slots, qlen_pad,
+                                                       interpret)
+                return
         # queries within one VMEM tile run the plain carry kernel;
         # longer ones the tiled-carry variant (512-row tile passes with
         # inter-tile boundary planes per chunk); non-int8 matrices and
@@ -690,8 +697,80 @@ class SearchEngine:
 
     # giants at or below this count score via the wavefront kernel; above
     # it they lane-pack into the carry series (which amortizes once
-    # enough giants keep its 1024 lanes busy)
+    # enough giants keep its 1024 lanes busy).  Only reached when the
+    # segmentation overlap bound is pathological (huge maxS/gapextend).
     WAVEFRONT_MAX_GIANTS = 64
+    SEGMENT_GIANTS = True      # tests pin the carry/wavefront routes off this
+
+    def _overlap_bound(self, qlen_pad: int) -> int:
+        """Upper bound on the db-span of any positive-score local
+        alignment: pairs contribute <= qlen * maxS, and every unpaired
+        db residue costs at least gapextend (gapopen >= 0), so a span
+        beyond qlen + qlen*maxS/gapextend cannot stay positive.  Pieces
+        of a giant sequence cut with this much overlap therefore contain
+        every scoring alignment whole, and max-over-pieces is EXACT."""
+        maxS = int(self.matrix.matrix.max())
+        if maxS <= 0:
+            return qlen_pad
+        return qlen_pad + -(-qlen_pad * maxS // self.params.gapextend)
+
+    def _iter_segmented_giants(self, slots, qlen_pad, V, interpret):
+        """Score giant units via overlapped segmentation on the stream
+        kernel: pieces of stride S and length S + V lane-pack at full
+        occupancy (the reference's channel machine has no equivalent —
+        its chromosome throughput is one SSE lane); a unit's score is
+        the max over its pieces, exact by the _overlap_bound argument."""
+        import jax.numpy as jnp
+
+        from .batching import pack_stream
+        from .ops.sw_stream import (build_matrix8, build_qcodes,
+                                    gather_scores, sw_scores_stream)
+        p = self.params
+        nseqs = 2048 if qlen_pad <= dict(self.STREAM_CONFIGS)[2048] \
+            else 1024
+        # stride adapts to the giant payload so mid-size genomes still
+        # fill the lanes (a few long pieces would idle most of them);
+        # piece length S+V always fits one chunk
+        total = sum(len(s) for s in self._giant_seqs)
+        S = max(total // (4 * nseqs), V, 1024)
+        S = min(S, self._max_cols - V)
+        pieces, owner = [], []
+        for gi, seq in enumerate(self._giant_seqs):
+            for pos in range(0, max(len(seq) - V, 1), S):
+                pieces.append(seq[pos: pos + S + V])
+                owner.append(gi)
+        owner = np.asarray(owner, dtype=np.int64)
+        chunks = pack_stream(pieces, nseqs=nseqs,
+                             max_cols=self._max_cols,
+                             seqnos=np.arange(len(pieces), dtype=np.int64))
+        qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
+        qc, ql = jnp.asarray(qc), jnp.asarray(ql)
+        m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
+        best = np.zeros((len(slots), len(self._giant_ids)), dtype=np.int64)
+        pending = []
+
+        def fold(item):
+            snos, sc = item
+            sc = np.asarray(sc)
+            np.maximum.at(best, (slice(None), owner[snos]), sc)
+
+        for ch in chunks:
+            # lane-major upload + device transpose (host transposes of
+            # multi-hundred-MB chunks are the slow part; cf.
+            # _dev_stream_chunks)
+            out = sw_scores_stream(qc, ql, m8, jnp.asarray(ch.data_t).T,
+                                   jnp.asarray(ch.start),
+                                   gapopenextend=p.gapopenextend,
+                                   gapextend=p.gapextend,
+                                   interpret=interpret)
+            sc = gather_scores(out, jnp.asarray(ch.end_block),
+                               jnp.asarray(ch.lane))
+            pending.append((ch.seqnos, sc))
+            if len(pending) >= self.CHUNK_WINDOW:
+                fold(pending.pop(0))
+        for item in pending:
+            fold(item)
+        yield self._giant_ids, best
 
     def _iter_wavefront_scores(self, slots, qlen_pad, interpret):
         """Score each giant unit with the anti-diagonal wavefront kernel

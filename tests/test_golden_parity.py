@@ -378,11 +378,11 @@ def test_golden_long_db_sequence(ref_swipe, tmp_path):
             f"long-seq mismatch for {args}\n"
             + "\n".join(_first_diff(ref_out, our_out)))
         if i == 0:
-            # the stream backend routes the lone giant through the
-            # wavefront kernel — keep that path in the byte-parity loop
+            # the stream backend routes the lone giant through exact
+            # overlapped segmentation — keep it in the byte-parity loop
             wf_out = _normalize(run_ours(full, backend="stream_interpret"))
             assert wf_out == ref_out, (
-                "wavefront long-seq mismatch\n"
+                "segmented long-seq mismatch\n"
                 + "\n".join(_first_diff(ref_out, wf_out)))
 
 

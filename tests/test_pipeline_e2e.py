@@ -527,7 +527,8 @@ def test_device_topk_tie_membership_translated():
 
 
 @pytest.mark.parametrize("backend", ["stream_interpret", "lax",
-                                     "stream_interpret_carry"])
+                                     "stream_interpret_carry",
+                                     "stream_interpret_wavefront"])
 def test_engine_giant_sequences(backend):
     # db sequences longer than one chunk stream through the bounded carry
     # series (chromosome-scale capability); scores and the align phase
@@ -549,12 +550,15 @@ def test_engine_giant_sequences(backend):
     query = preprocess_query("q", q, 1, 3)
     params = SearchParams(symtype=1, gapopen=11, gapextend=1,
                           descriptions=40, alignments=3, expect=1e9)
-    # the carry variant pins the lane-packed carry series (the route for
-    # giant-heavy databases); plain stream_interpret takes the wavefront
-    eng = SearchEngine(db, params, max_cols=2048,
-                       backend=backend.removesuffix("_carry"))
+    # plain stream_interpret takes the overlapped-segmentation route;
+    # the _carry / _wavefront variants pin the other two giant routes
+    base = backend.removesuffix("_carry").removesuffix("_wavefront")
+    eng = SearchEngine(db, params, max_cols=2048, backend=base)
     if backend.endswith("_carry"):
+        eng.SEGMENT_GIANTS = False
         eng.WAVEFRONT_MAX_GIANTS = 0
+    elif backend.endswith("_wavefront"):
+        eng.SEGMENT_GIANTS = False
     assert eng._giant_ids.size == 2
     hits = eng.search(query)
     seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(len(parts))]
@@ -563,6 +567,35 @@ def test_engine_giant_sequences(backend):
         assert h.score == want[h.seqno]
     assert hits.hits[0].seqno == 31          # the planted giant wins
     assert hits.hits[0].alignment            # align phase ran on the giant
+
+
+def test_engine_segmented_giant_cut_positions():
+    # overlapped segmentation must be exact for hits planted AT the
+    # piece-cut positions (the overlap bound argument): with
+    # max_cols=2048 and this query the stride is ~1024, so plant hits
+    # straddling every multiple of 1024 near the front
+    rng = np.random.default_rng(35)
+    q = "".join(rng.choice(list(AA), 40))
+    body = list("".join(rng.choice(list(AA), 9000)))
+    for cut in (1024, 2048, 3072, 4096):
+        frag = q[5:35]
+        body[cut - 15: cut - 15 + len(frag)] = list(frag)
+    giant = "".join(body)
+    fasta = f">g0 giant\n{giant}\n" + "".join(
+        f">s{i} small {i}\n" + "".join(rng.choice(list(AA), 50)) + "\n"
+        for i in range(1, 6))
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="segcut")
+    query = preprocess_query("q", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=6, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret",
+                       max_cols=2048)
+    assert eng._giant_ids.size == 1
+    hits = eng.search(query)
+    seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(6)]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    got = {h.seqno: h.score for h in hits.hits}
+    assert got[0] == want[0]
 
 
 def test_engine_long_query_giant_sequence():
