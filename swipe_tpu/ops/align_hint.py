@@ -33,6 +33,9 @@ def hint_endpoint(qseq: np.ndarray, dseq: np.ndarray, matrix: np.ndarray,
                   gapopen: int, gapextend: int
                   ) -> tuple[int, int, int]:
     """Return (score, bestq, bestpos) with search16s tie semantics."""
+    if len(dseq) > GIANT_HINT_MIN:
+        return hint_endpoints_many(qseq, [np.asarray(dseq)], matrix,
+                                   gapopen, gapextend)[0]
     q = np.asarray(qseq, dtype=np.int64)
     d = np.asarray(dseq, dtype=np.int64)
     mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
@@ -74,6 +77,21 @@ NEG32 = -(1 << 28)
 # reference runs search16s at SIMD speed for the same reason)
 DEVICE_CELLS = 50_000_000
 
+# subjects longer than this segment into overlapped pieces for the hint
+# pass (the transpose of the search phase's segmented-giant scoring): a
+# lone chromosome otherwise runs one lane through maxlen sequential
+# columns, which is latency-bound on every backend
+GIANT_HINT_MIN = 1 << 18
+
+
+def _span_bound(m: int, maxS: int, R: int) -> int | None:
+    """Max db-span of a positive-score local alignment (same argument
+    as pipeline.SearchEngine._overlap_bound): pairs contribute at most
+    m * maxS and each unpaired db residue costs at least R."""
+    if maxS <= 0:
+        return None
+    return m + -(-m * maxS // R)
+
 
 def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
                         matrix: np.ndarray, gapopen: int, gapextend: int
@@ -86,6 +104,14 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
     hint_endpoint (first column attaining the final max; smallest row
     within it).  Large batches run on the attached accelerator via the
     lax twin; small ones stay in NumPy (no dispatch/compile latency).
+
+    Chromosome-scale subjects segment into overlapped pieces that run
+    as parallel lanes (EXACT: a positive-score alignment spans at most
+    _span_bound db columns, so every colmax over a piece's OWNED
+    columns — those at least that far from the piece start — is the
+    true colmax; ownership partitions the columns, so merging by
+    (max S, then smallest global column) reproduces the unsegmented
+    first-improving-column/smallest-row tie semantics bit-for-bit).
     """
     if not dseqs:
         return []
@@ -94,22 +120,71 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
     mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
     Q = gapopen + gapextend
     R = gapextend
+
+    V = _span_bound(m, int(mat.max()), R)
+    giants = [i for i, d in enumerate(dseqs)
+              if V is not None and len(d) > GIANT_HINT_MIN
+              and len(d) > 4 * V]
+    if not giants:
+        return _hint_batch(q, [np.asarray(d) for d in dseqs], mat, Q, R,
+                           None)
+
+    results: list[tuple[int, int, int] | None] = [None] * len(dseqs)
+    normals = [i for i in range(len(dseqs)) if i not in set(giants)]
+    if normals:
+        for i, res in zip(normals, _hint_batch(
+                q, [np.asarray(dseqs[i]) for i in normals], mat, Q, R,
+                None)):
+            results[i] = res
+
+    pieces, starts, owner, gpos = [], [], [], []
+    for i in giants:
+        d = np.asarray(dseqs[i])
+        N = len(d)
+        stride = max(2 * V, -(-N // 1024), 2048)
+        stride = -(-stride // 256) * 256
+        for pos in range(0, max(N - V, 1), stride):
+            pieces.append(d[pos: pos + stride + V])
+            starts.append(0 if pos == 0 else V)
+            owner.append(i)
+            gpos.append(pos)
+    res = _hint_batch(q, pieces, mat, Q, R,
+                      np.asarray(starts, dtype=np.int64))
+    best: dict[int, tuple[int, int, int]] = {}
+    for (s, bq, bp), i, pos in zip(res, owner, gpos):
+        cur = best.get(i)
+        if cur is None or s > cur[0] or (s == cur[0] and 0 <= bq
+                                         and pos + bp < cur[2]):
+            best[i] = (s, bq, pos + bp) if bq >= 0 else (s, bq, bp)
+    for i in giants:
+        results[i] = best[i]
+    return results
+
+
+def _hint_batch(q, dseqs, mat, Q, R, starts):
+    """Batched hint pass with optional per-lane first-tracked column
+    (``starts``: columns before a lane's start never update S/bq/bp —
+    the owned-column mask of the segmented-giant route)."""
     lens = np.array([len(d) for d in dseqs], dtype=np.int64)
     n = len(dseqs)
+    m = len(q)
     maxlen = int(lens.max())
+    if starts is None:
+        starts = np.zeros(n, dtype=np.int64)
 
     if n * maxlen * m > DEVICE_CELLS:
         try:
             import jax
             if jax.default_backend() not in ("cpu",):
-                return _hint_endpoints_device(q, dseqs, lens, mat, Q, R)
+                return _hint_endpoints_device(q, dseqs, lens, mat, Q, R,
+                                              starts)
         except Exception:
             pass
 
     QP = mat[q, :].T.astype(np.int32)                 # (32, m)
-    dense = np.zeros((n, maxlen), dtype=np.int64)
+    dense = np.zeros((n, maxlen), dtype=np.int8)
     for i, d in enumerate(dseqs):
-        dense[i, : len(d)] = np.asarray(d, dtype=np.int64)
+        dense[i, : len(d)] = np.asarray(d, dtype=np.int8)
 
     H = np.zeros((n, m), dtype=np.int32)
     E = np.full((n, m), NEG32, dtype=np.int32)
@@ -132,7 +207,7 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
             axis=1) - Q - idxR + R
         H = np.maximum(hnof, F)
         colmax = H.max(axis=1)
-        improve = active & (colmax > S)
+        improve = active & (colmax > S) & (j >= starts)
         if improve.any():
             rows = np.argmax(H == colmax[:, None], axis=1)
             S = np.where(improve, colmax, S)
@@ -146,12 +221,14 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
 _HINT_UNROLL = 8
 
 
-def _hint_lax_impl(QP, dense_t, lens, Q, R):
+def _hint_lax_impl(QP, dense_t, lens, starts, Q, R):
     """lax twin of the batched hint pass: scan over db columns,
     _HINT_UNROLL columns per scan step (a bare per-column scan is
     step-overhead-bound on tiny [n, m] state).
 
-    QP: [32, m] int32; dense_t: [maxlen, n] int32; lens: [n] int32.
+    QP: [32, m] int32; dense_t: [maxlen, n] int32; lens: [n] int32;
+    starts: [n] int32 per-lane first-tracked column (the segmented
+    giant route's owned-column mask; zeros for whole sequences).
     Tie semantics identical to the NumPy pass (argmax = smallest row /
     first improving column).
     """
@@ -177,7 +254,7 @@ def _hint_lax_impl(QP, dense_t, lens, Q, R):
         H = jnp.maximum(hnof, F)
         colmax = H.max(axis=1)
         active = j < lens
-        improve = active & (colmax > S)
+        improve = active & (colmax > S) & (j >= starts)
         rows = jnp.argmax(H == colmax[:, None], axis=1).astype(jnp.int32)
         S = jnp.where(improve, colmax, S)
         bp = jnp.where(improve, j, bp)
@@ -208,7 +285,7 @@ def _hint_lax_impl(QP, dense_t, lens, Q, R):
 _hint_lax_jit = None
 
 
-def _hint_endpoints_device(q, dseqs, lens, mat, Q, R):
+def _hint_endpoints_device(q, dseqs, lens, mat, Q, R, starts=None):
     """Run the batched hint pass on the attached accelerator.
 
     int8-range matrices with queries that fit one VMEM tile go through
@@ -227,13 +304,15 @@ def _hint_endpoints_device(q, dseqs, lens, mat, Q, R):
             and int(lens.max()) * 1024 <= (512 << 20)
             and jax.default_backend() not in ("cpu",)):
         try:
-            return _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R)
+            return _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R,
+                                          starts)
         except Exception:
             pass
-    return _hint_endpoints_lax(q, dseqs, lens, mat, Q, R)
+    return _hint_endpoints_lax(q, dseqs, lens, mat, Q, R, starts)
 
 
-def _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R, interpret=False):
+def _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R, starts=None,
+                           interpret=False):
     """Pallas hint-kernel route: one sequence per lane, PAD-padded."""
     import jax.numpy as jnp
 
@@ -250,15 +329,19 @@ def _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R, interpret=False):
     dense = np.full((len_pad, n_pad), PAD_SYMBOL, dtype=np.int8)
     for i, d in enumerate(dseqs):
         dense[: len(d), i] = np.asarray(d, dtype=np.int8)
+    st = np.zeros(n_pad, dtype=np.int32)
+    if starts is not None:
+        st[:n] = starts
     S, bq, bp = sw_hint_stream(
         jnp.asarray(qc), jnp.asarray(ql),
         jnp.asarray(build_matrix8(mat)), jnp.asarray(dense),
+        jnp.asarray(st),
         gapopenextend=int(Q), gapextend=int(R), interpret=interpret)
     S, bq, bp = np.asarray(S), np.asarray(bq), np.asarray(bp)
     return [(int(S[i]), int(bq[i]), int(bp[i])) for i in range(n)]
 
 
-def _hint_endpoints_lax(q, dseqs, lens, mat, Q, R):
+def _hint_endpoints_lax(q, dseqs, lens, mat, Q, R, starts=None):
     import jax.numpy as jnp
 
     global _hint_lax_jit
@@ -276,7 +359,11 @@ def _hint_endpoints_lax(q, dseqs, lens, mat, Q, R):
     QP = mat[q, :].T.astype(np.int32)
     lens_pad = np.zeros(n_pad, dtype=np.int32)
     lens_pad[:n] = lens
+    st_pad = np.zeros(n_pad, dtype=np.int32)
+    if starts is not None:
+        st_pad[:n] = starts
     S, bq, bp = _hint_lax_jit(jnp.asarray(QP), jnp.asarray(dense_t),
-                              jnp.asarray(lens_pad), Q=int(Q), R=int(R))
+                              jnp.asarray(lens_pad), jnp.asarray(st_pad),
+                              Q=int(Q), R=int(R))
     S, bq, bp = np.asarray(S), np.asarray(bq), np.asarray(bp)
     return [(int(S[i]), int(bq[i]), int(bp[i])) for i in range(n)]

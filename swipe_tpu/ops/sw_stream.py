@@ -570,7 +570,7 @@ def gather_scores(out: jax.Array, end_block: jax.Array, lane: jax.Array
     return out[:, end_block, lane]
 
 
-def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref,
+def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
                  s_out, bq_out, bp_out,
                  hst_ref, est_ref, hrow_ref, frow_ref,
                  cm_ref, ra_ref, s_ref, bq_ref, bp_ref,
@@ -585,6 +585,11 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref,
     columns are folded into (S, bestq, bestpos) in ascending column
     order, improving only on a strict running-max increase — so bestpos
     is the first column attaining the final maximum.
+
+    st_ref carries a per-lane first-tracked column: columns before it
+    warm the DP state up but never update (S, bestq, bestpos) — the
+    owned-column mask of the segmented chromosome-scale hint route
+    (ops.align_hint.hint_endpoints_many).
 
     Columns past a lane's sequence end need no masking: H there is
     bounded by an earlier H minus a positive gap penalty (or 0), so the
@@ -651,7 +656,8 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref,
     jax.lax.fori_loop(0, nrb, row_body, jnp.zeros((SUB, nl), jnp.int32))
 
     for j in range(KSEG):
-        improve = cm_ref[j] > s_ref[...]
+        improve = ((cm_ref[j] > s_ref[...])
+                   & (b * KSEG + j >= st_ref[...]))
         s_ref[...] = jnp.where(improve, cm_ref[j], s_ref[...])
         bp_ref[...] = jnp.where(improve, b * KSEG + j, bp_ref[...])
         bq_ref[...] = jnp.where(improve, ra_ref[j], bq_ref[...])
@@ -668,13 +674,16 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref,
     static_argnames=("gapopenextend", "gapextend", "interpret"),
 )
 def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
-                   db: jax.Array, *, gapopenextend: int, gapextend: int,
+                   db: jax.Array, starts: jax.Array, *,
+                   gapopenextend: int, gapextend: int,
                    interpret: bool = False):
     """Endpoint hints for ONE query vs one db sequence per lane.
 
     qcodes: [1, QLEN] int32 (build_qcodes), qlens: [1] int32,
     matrix8: [32, 32] int8, db: [L, NSEQS] int8 — sequence i in lane i,
-    PAD_SYMBOL padded (no refill; one sequence per lane).
+    PAD_SYMBOL padded (no refill; one sequence per lane); starts:
+    [NSEQS] int32 per-lane first-tracked column (all zeros for whole
+    sequences; the owned-column offset for segmented giant subjects).
     Returns (S, bestq, bestpos), each [NSEQS] int32, with search16s tie
     semantics: bestpos = first db column attaining the final maximum,
     bestq = smallest query row attaining it there; bestq = -1 when the
@@ -694,6 +703,7 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     nl = nseqs // SUB
     nblocks = L // KSEG
     db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+    st2 = starts.astype(jnp.int32).reshape(SUB, nl)
 
     kernel = functools.partial(_hint_kernel, Q=gapopenextend, R=gapextend)
 
@@ -704,6 +714,8 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             pl.BlockSpec((32, 32), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((KSEG * SUB, nl), lambda b, *_: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -740,7 +752,7 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(qcodes, qlens, matrix8, db8)
+    )(qcodes, qlens, matrix8, db8, st2)
     return s.reshape(nseqs), bq.reshape(nseqs), bp.reshape(nseqs)
 
 

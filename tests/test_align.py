@@ -246,6 +246,54 @@ def test_hint_pallas_kernel_matches_numpy(m62):
         assert got == want
 
 
+def test_hint_giant_segmented_matches_unsegmented(m62, monkeypatch):
+    # chromosome-scale subjects segment into overlapped pieces (the
+    # transpose of the search phase's segmented-giant scoring); the
+    # merged (S, bestq, bestpos) must be bit-identical to the
+    # unsegmented pass, including the first-global-column tie when the
+    # same maximal match is planted twice
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(55)
+    q = rng.integers(1, 21, size=40, dtype=np.int8)
+    d = rng.integers(1, 21, size=6000, dtype=np.int8)
+    d[2480:2540] = rng.integers(1, 21, size=60, dtype=np.int8)
+    d[2500:2530] = q[5:35]
+    d[4680:4740] = d[2480:2540]           # identical copy + flanks: tie
+    mat = np.asarray(m62.matrix, dtype=np.int64).reshape(32, 32)
+    q64 = np.asarray(q, dtype=np.int64)
+    want_giant = AH._hint_batch(q64, [np.asarray(d)], mat, 12, 1, None)[0]
+    short = d[:100]
+    want_short = AH._hint_batch(q64, [np.asarray(short)], mat, 12, 1,
+                                None)[0]
+    monkeypatch.setattr(AH, "GIANT_HINT_MIN", 1024)
+    got = AH.hint_endpoints_many(q, [d, short, d], m62.matrix, 11, 1)
+    assert got == [want_giant, want_short, want_giant]
+    # the planted tie must resolve to the FIRST copy's global column
+    assert got[0][2] < 2600
+
+
+def test_hint_device_routes_honor_starts(m62):
+    # both device twins (lax scan + Pallas kernel) must apply the
+    # per-lane first-tracked-column mask exactly like the NumPy pass
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(56)
+    q = rng.integers(1, 5, size=33, dtype=np.int8)
+    dseqs = [rng.integers(1, 5, size=int(rng.integers(40, 220)),
+                          dtype=np.int8) for _ in range(13)]
+    lens = np.array([len(d) for d in dseqs], dtype=np.int64)
+    starts = np.array([int(rng.integers(0, max(2, L // 2)))
+                       for L in lens], dtype=np.int64)
+    mat = np.asarray(m62.matrix, dtype=np.int64).reshape(32, 32)
+    q64 = q.astype(np.int64)
+    want = AH._hint_batch(q64, [np.asarray(d) for d in dseqs], mat,
+                          12, 1, starts)
+    got_lax = AH._hint_endpoints_lax(q64, dseqs, lens, mat, 12, 1, starts)
+    assert got_lax == want
+    got_pl = AH._hint_endpoints_pallas(q64, dseqs, lens, mat, 12, 1,
+                                       starts, interpret=True)
+    assert got_pl == want
+
+
 def test_align_all_threads_identical():
     # -a N fans the gapped tracebacks over a worker pool; output must be
     # byte-identical to the serial align phase
