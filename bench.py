@@ -30,6 +30,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent XLA compile cache: the first stream-kernel compile takes
+    # minutes through the remote TPU tunnel; cached reruns start in
+    # seconds (same cache the CLI uses)
+    from swipe_tpu.cli import _enable_compile_cache
+    _enable_compile_cache()
+
     from swipe_tpu.batching import pack_database, pack_stream
     from swipe_tpu.matrices import ScoreMatrix
     from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax

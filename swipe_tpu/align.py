@@ -294,8 +294,34 @@ def align_py(a, b, matrix, q, r, hint=None):
     return score, a_begin, b_begin, a_end, b_end, str(ops)
 
 
-def align(a, b, matrix, q, r, hint=None):
-    """Gapped alignment; uses the native C++ aligner when available."""
+def _align_impl(a, b, matrix, q, r, hint=None):
     if native.available():
         return native.align(a, b, matrix, q, r, hint)
     return align_py(a, b, matrix, q, r, hint)
+
+
+def align(a, b, matrix, q, r, hint=None):
+    """Gapped alignment; uses the native C++ aligner when available.
+
+    With a hint, the db sequence is first cut to the window that can
+    contain the alignment (EXACT: a local alignment of positive score
+    spans at most V = M + ceil(M*maxS/r) db columns — pairs contribute
+    at most M*maxS and every unpaired db residue costs at least r — so
+    b_begin >= b_end+1-V; reverse-DP values inside the window do not
+    depend on the cut columns).  This bounds the reverse pass and the
+    traceback to O(M*V) regardless of subject length, which is what
+    keeps the align phase flat when a hit sits mid-chromosome.
+    """
+    if hint is not None and r > 0:
+        score, a_end, b_end = hint
+        max_s = int(np.asarray(matrix).max())
+        if max_s > 0:
+            M = len(a)
+            V = M + -(-M * max_s // r)
+            w0 = b_end + 1 - V
+            if w0 > 0:
+                sub = np.asarray(b)[w0: b_end + 1]
+                s, ab, bb, ae, be, ops = _align_impl(
+                    a, sub, matrix, q, r, (score, a_end, b_end - w0))
+                return s, ab, bb + w0, ae, be + w0, ops
+    return _align_impl(a, b, matrix, q, r, hint)

@@ -520,16 +520,16 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
                          memory_space=pltpu.VMEM),
             # carry state stays in HBM; the kernel DMAs it into the same
             # VMEM scratch the non-carry kernel zero-initializes
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
@@ -1195,10 +1195,10 @@ def _stream_tile_carry_pass(qcodes, qlens, tile, matrix8, db8, start32,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
@@ -1209,9 +1209,9 @@ def _stream_tile_carry_pass(qcodes, qlens, tile, matrix8, db8, start32,
             pl.BlockSpec((1, 1, KSEG, SUB, nl),
                          lambda q, b, *_: (q, b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
             pltpu.VMEM((tile_rows, SUB, nl), jnp.int32),

@@ -246,6 +246,31 @@ def test_hint_pallas_kernel_matches_numpy(m62):
         assert got == want
 
 
+def test_hinted_align_window_matches_full(m62):
+    # with a hint, align() cuts the subject to the span-bound window
+    # ending at b_end; result must be identical to the unwindowed
+    # aligner on the full subject (coordinates in full-subject space)
+    from swipe_tpu.align import align
+    rng = np.random.default_rng(57)
+    a = _rand_seq(rng, 45)
+    for at in (900, 2600):   # window both clear of and clamped at 0-edge
+        b = _rand_seq(rng, 3000)
+        b[at:at + 30] = a[8:38]
+        full = align_py(a, b, m62.matrix, 11, 1)
+        score, ab, bb, ae, be, ops = full
+        hint = (score, ae, be)
+        want = align_py(a, b, m62.matrix, 11, 1, hint=hint)
+        assert want == full
+        got = align(a, b, m62.matrix, 11, 1, hint=hint)
+        assert got == full
+        # the windowed call must actually have triggered for the far case
+        V = 45 + 45 * int(np.asarray(m62.matrix).max())
+        if be + 1 > V:
+            sub = b[be + 1 - V: be + 1]
+            assert align_py(a, sub, m62.matrix, 11, 1,
+                            hint=(score, ae, V - 1))[2] + be + 1 - V == bb
+
+
 def test_hint_giant_segmented_matches_unsegmented(m62, monkeypatch):
     # chromosome-scale subjects segment into overlapped pieces (the
     # transpose of the search phase's segmented-giant scoring); the

@@ -348,7 +348,11 @@ def test_golden_long_db_sequence(ref_swipe, tmp_path):
     qn = "".join(rng.choice(NT, 90))
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     qrc = "".join(comp[c] for c in reversed(qn))
-    giant = ("".join(rng.choice(NT, 30000)) + qn
+    # > 65536 so the STREAM backend also classifies it as giant: below
+    # that the interpret subcase packs one 70k-tall chunk and runs its
+    # ~4400 grid steps in Python (measured 19 min); through the
+    # segmented route the pieces pack ~70x shorter
+    giant = ("".join(rng.choice(NT, 40000)) + qn
              + "".join(rng.choice(NT, 20000)) + qrc
              + "".join(rng.choice(NT, 10000)))
     seqs, descs = [], []

@@ -626,6 +626,39 @@ def test_engine_long_query_giant_sequence():
     assert hits.hits[0].seqno == 12
 
 
+def test_engine_giant_hint_segmentation_identical(monkeypatch):
+    # the align phase's segmented hint route (subjects past
+    # GIANT_HINT_MIN split into overlapped owned-column pieces) must
+    # leave every displayed alignment byte-identical to the unsegmented
+    # hint pass, wired through the full engine
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(36)
+    q = "".join(rng.choice(list(AA), 45))
+    body = list("".join(rng.choice(list(AA), 7000)))
+    body[3000:3030] = list(q[8:38])
+    body[6200:6230] = list(q[8:38])      # second copy: endpoint tie
+    parts = [("g0 giant twin-planted", "".join(body))] + [
+        (f"s{i} small {i}", "".join(rng.choice(list(AA), 80)))
+        for i in range(1, 8)]
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    query = preprocess_query("q", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=8, alignments=8, expect=1e9)
+
+    def run():
+        db = FastaDatabase(io.StringIO(fasta), "aa", title="hintseg")
+        eng = SearchEngine(db, params, backend="stream_interpret",
+                           max_cols=2048)
+        hits = eng.search(query)
+        return [(h.seqno, h.score, h.align_q_start, h.align_d_start,
+                 h.align_q_end, h.align_d_end, h.alignment)
+                for h in hits.hits]
+
+    want = run()
+    monkeypatch.setattr(AH, "GIANT_HINT_MIN", 1024)
+    assert run() == want
+
+
 def test_engine_all_units_giant():
     # a db of ONLY chromosome-scale sequences: the normal pack is empty
     # and everything flows through the carry series
