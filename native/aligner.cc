@@ -92,6 +92,7 @@ void row_forward(std::vector<long>& H, std::vector<long>& E, const long* qrow,
   long* enew = w.enew.data();
   long* hnof = w.hnof.data();
   long* acc = w.acc.data();
+  if (N == 0) return;  // empty subject: row is a no-op
   long diag = 0;  // entering h0
   for (long j = 0; j < N; j++) {
     enew[j] = std::max(E[j], H[j] - q) - r;
@@ -123,6 +124,7 @@ void row_reverse(std::vector<long>& H, std::vector<long>& E, const long* qrow,
   long* enew = w.enew.data();
   long* hnof = w.hnof.data();
   long* acc = w.acc.data();
+  if (N == 0) return;  // empty subject prefix: row is a no-op
   long diag = h0;
   for (long j = 0; j < N; j++) {
     enew[j] = std::max(E[j], H[j] - q) - r;
@@ -352,6 +354,12 @@ extern "C" long swtpu_align(const int8_t* a, long M, const int8_t* b, long N,
                             const long* matrix, long q, long r, long hint,
                             long* coords, char* ops_out, long ops_cap) {
   long score, ab = 0, bb = 0, ae, be;
+  // empty query or subject scores 0, and score-0 pairs trip the
+  // "Internal error" fatal (the reference segfaults on this input —
+  // fetching/aligning an empty db sequence under -c 0 — so the fatal
+  // is the consistent non-UB behavior); bail before region_reverse
+  // would read b[0] out of bounds
+  if (M == 0 || N == 0) return -1;
   Rows w;
   w.reserve((size_t)N + 1);
   if (hint) {

@@ -72,6 +72,11 @@ def region(a, b, matrix, q, r):
     b = np.asarray(b, dtype=np.int64)
     M, N = len(a), len(b)
     mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
+    if M == 0 or N == 0:
+        # empty query/subject scores 0; score-0 pairs trip the fatal
+        # below (the reference segfaults fetching+aligning an empty db
+        # sequence under -c 0, so the fatal is the non-UB equivalent)
+        raise RuntimeError("Internal error in align function.")
 
     score = 0
     a_end = b_end = 0

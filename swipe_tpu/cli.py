@@ -385,6 +385,19 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _fatal_on_internal_error(gen):
+    """Render the align phase's deliberate RuntimeErrors (e.g. "Internal
+    error in align function.", align.cc:156) as the reference's fatal():
+    bare message on stderr, exit 1 — not a Python traceback."""
+    while True:
+        try:
+            yield next(gen)
+        except StopIteration:
+            return
+        except RuntimeError as e:
+            fatal(str(e))
+
+
 def main(argv=None) -> int:
     a = parse_args(sys.argv[1:] if argv is None else argv)
     if a.mh_procs > 1:
@@ -458,7 +471,8 @@ def main(argv=None) -> int:
         yield from flush()
 
     totalhits_seen = 0
-    for queryno, query, hits, timings in batched_results():
+    for queryno, query, hits, timings in _fatal_on_internal_error(
+            batched_results()):
         args_show(out, a, db, query, engine)
         if a.view == 0:
             # hits_init warning (hits.cc:504-505), printed when statistics

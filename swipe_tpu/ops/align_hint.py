@@ -87,8 +87,9 @@ GIANT_HINT_MIN = 1 << 18
 def _span_bound(m: int, maxS: int, R: int) -> int | None:
     """Max db-span of a positive-score local alignment (same argument
     as pipeline.SearchEngine._overlap_bound): pairs contribute at most
-    m * maxS and each unpaired db residue costs at least R."""
-    if maxS <= 0:
+    m * maxS and each unpaired db residue costs at least R.  With free
+    gap extension (R == 0) the span is unbounded — no segmentation."""
+    if maxS <= 0 or R <= 0:
         return None
     return m + -(-m * maxS // R)
 

@@ -331,7 +331,7 @@ def is_megacore() -> bool:
     import os
     env = os.environ.get("SWIPE_TPU_MEGACORE")
     if env is not None:
-        return env not in ("0", "")
+        return env.strip().lower() in ("1", "true", "yes", "on")
     try:
         dev = jax.devices()[0]
         if getattr(dev, "num_cores", 1) > 1:

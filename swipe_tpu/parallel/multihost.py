@@ -90,6 +90,22 @@ def split_seqnos(db, n_hosts: int) -> list[tuple[int, int]]:
     return list(zip(cuts[:-1], cuts[1:]))
 
 
+def _pick_stream_mode(use_pallas: bool, lpd: int, qlen_pad: int
+                      ) -> tuple[str, int]:
+    """Kernel route for the multi-host search step.
+
+    Queries beyond one VMEM tile take the query-tiled variant (HBM
+    boundary planes), mirroring the single-host STREAM_CONFIGS ladder —
+    the plain kernel's per-row scratch would blow the 16 MB VMEM budget
+    (row caps: 384 at 2048 lanes/device, 1024 at 1024)."""
+    if not use_pallas:
+        return "lax", qlen_pad
+    cap = 384 if lpd == 2048 else 1024
+    if qlen_pad <= cap:
+        return "stream", qlen_pad
+    return "stream_long", -(-qlen_pad // 512) * 512
+
+
 @functools.lru_cache(maxsize=32)
 def _mh_step(mesh, gapopenextend: int, gapextend: int, k: int,
              sl7: int, sl16: int, backend: str):
@@ -105,10 +121,12 @@ def _mh_step(mesh, gapopenextend: int, gapextend: int, k: int,
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.sw_stream import sw_scores_stream, sw_scores_stream_lax
+    from ..ops.sw_stream import (sw_scores_stream, sw_scores_stream_lax,
+                                 sw_scores_stream_long)
 
-    score = (sw_scores_stream if backend == "stream"
-             else sw_scores_stream_lax)
+    score = {"stream": sw_scores_stream,
+             "stream_long": sw_scores_stream_long,
+             "lax": sw_scores_stream_lax}[backend]
 
     def per_device(qc, ql, m8, db, st, eb, ln, un, thr, upper):
         out = score(qc, ql, m8, db, st,
@@ -267,6 +285,7 @@ class MultiHostEngine(SearchEngine):
         use_pallas = (self.backend == "stream" and self.matrix.fits_int8
                       and lpd % 1024 == 0)
         qlen_pad = max(128, -(-max(len(s[3]) for s in slots) // 128) * 128)
+        mode, qlen_pad = _pick_stream_mode(use_pallas, lpd, qlen_pad)
 
         chunks = self._local_chunks()
         # round metadata sync: every host advances through the same
@@ -305,7 +324,7 @@ class MultiHostEngine(SearchEngine):
         upper_g = mk(rep, upper)
         step = _mh_step(mesh, p.gapopenextend, p.gapextend, kbase,
                         self.matrix.scorelimit_7, self.matrix.scorelimit_16,
-                        "stream" if use_pallas else "lax")
+                        mode)
 
         n_lanes_g = self._nproc * self._nseqs_local
         for r in range(nrounds):

@@ -37,6 +37,17 @@ __all__ = ["SearchEngine", "SearchParams", "SearchTimings"]
 
 
 def _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16):
+    """Device-side per-chunk hit reduction: top-K candidates + counters.
+
+    Replaces transferring every score to the host (the reference instead
+    relies on a mutexed hits_enter per sequence, hits.cc:163-222).  Scores
+    are selected by (score desc, unit id desc) — the reference's insertion
+    tie order (hits.cc:188-191) — by running top_k on the unit-reversed
+    array, since lax.top_k prefers the lowest index on ties.  Scores above
+    the per-slot upper cutoff are masked to -1 (callers drop them), so the
+    reduction stays exact under -u/-k.  Dispatched only as part of
+    _fused_stream_step's single jitted computation.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -52,33 +63,6 @@ def _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16):
     vals, ridx = jax.lax.top_k(rev, k)
     idx = sc.shape[1] - 1 - ridx
     return vals, idx, totalh, obvious, n16, n63
-
-
-_chunk_reduce_jit = None
-
-
-def _chunk_reduce(sc, init_thr, upper, *, k: int, sl7: int, sl16: int):
-    """Device-side per-chunk hit reduction: top-K candidates + counters.
-
-    Replaces transferring every score to the host (the reference instead
-    relies on a mutexed hits_enter per sequence, hits.cc:163-222).  Scores
-    are selected by (score desc, unit id desc) — the reference's insertion
-    tie order (hits.cc:188-191) — by running top_k on the unit-reversed
-    array, since lax.top_k prefers the lowest index on ties.  Scores above
-    the per-slot upper cutoff are masked to -1 (callers drop them), so the
-    reduction stays exact under -u/-k.
-
-    The jitted implementation is a module-level singleton: a fresh jit
-    per call would re-trace (and round-trip the remote compiler) on every
-    chunk.
-    """
-    import jax
-
-    global _chunk_reduce_jit
-    if _chunk_reduce_jit is None:
-        _chunk_reduce_jit = jax.jit(
-            _chunk_reduce_impl, static_argnames=("k", "sl7", "sl16"))
-    return _chunk_reduce_jit(sc, init_thr, upper, k, sl7, sl16)
 
 
 @functools.lru_cache(maxsize=128)
@@ -262,6 +246,8 @@ class SearchEngine:
         self._carry_packs: dict[int, list] = {}
         self._stream_packs: dict[int, list] = {}
         self._dev_stream: dict[int, list] = {}
+        self._seg_packs: dict[tuple, tuple] = {}
+        self._dev_seg: dict[tuple, list] = {}
         if self.backend in ("stream", "stream_interpret"):
             self.chunks = self._stream_chunks(nseqs)
             self._seg_chunks = None
@@ -470,7 +456,7 @@ class SearchEngine:
             # score columns must ascend in the REVERSE of the hit list's
             # tie preference (score desc, seqno desc, dstrand asc, dframe
             # asc — hits.finalize) because the reversed lax.top_k in
-            # _chunk_reduce prefers the highest column on ties: sort by
+            # _chunk_reduce_impl prefers the highest column on ties: sort by
             # (seqno asc, dstrand desc, dframe desc)
             meta = self.unit_meta[c.seqnos]
             order = np.lexsort((-meta[:, 2], -meta[:, 1], meta[:, 0]))
@@ -513,25 +499,34 @@ class SearchEngine:
         for i in range(0, len(slots), step):
             self._search_stream_group(slots[i:i + step],
                                       qlen_pad, nseqs, timings,
-                                      interpret=interpret, long=long)
+                                      interpret=interpret, long=long,
+                                      # a multi-group batch pads its tail
+                                      # group to the full step so it
+                                      # reuses the main groups' compiled
+                                      # kernel shape (a second shape used
+                                      # to compile mid-search)
+                                      pad_slots=step if len(slots) > step
+                                      else None)
 
     def _search_stream_group(self, slots, qlen_pad, nseqs, timings,
-                             interpret=False, long=False):
+                             interpret=False, long=False, pad_slots=None):
         import jax.numpy as jnp
 
         from .ops.sw_stream import build_matrix8, build_qcodes
         p = self.params
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
-        # bucket the slot count to a power of two: a ragged tail batch
-        # would otherwise compile a fresh kernel shape mid-search
-        # (measured: a 40 s remote compile inside the timed window of the
-        # full config-4 run).  Dead slots carry qlen 0 — their row loop
-        # never executes, so the padding costs at most a few
-        # dprofile-only grid steps on the tail batch.
+        # bucket the slot count to a power of two (or the caller's
+        # ``pad_slots``): a ragged tail batch would otherwise compile a
+        # fresh kernel shape mid-search (measured: a 40 s remote compile
+        # inside the timed window of the full config-4 run).  Dead slots
+        # carry qlen 0 — their row loop never executes, so the padding
+        # costs at most a few dprofile-only grid steps on the tail batch.
         nslots = len(slots)
         nslots_pad = 1
         while nslots_pad < nslots:
             nslots_pad *= 2
+        if pad_slots is not None:
+            nslots_pad = max(nslots_pad, pad_slots)
         if nslots_pad != nslots:
             from .ops.sw_pallas import PAD_SYMBOL
             qc = np.concatenate(
@@ -541,14 +536,18 @@ class SearchEngine:
                 [ql, np.zeros(nslots_pad - nslots, ql.dtype)], axis=0)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
+        # dead padding slots get INT32_MAX thresholds: they count no
+        # hits, mask nothing, and their all-zero scores never reach the
+        # tier limits — the host ignores their payload rows anyway
+        pad_hi = [2**31 - 1] * (nslots_pad - nslots)
         init_thr = jnp.asarray(
-            [max(min(s[0].init_threshold, 2**31 - 1), -2**31) for s in slots],
-            jnp.int32)
-        # upper cutoff (-u/-k): _chunk_reduce masks scores above it on
+            [max(min(s[0].init_threshold, 2**31 - 1), -2**31)
+             for s in slots] + pad_hi, jnp.int32)
+        # upper cutoff (-u/-k): _chunk_reduce_impl masks scores above it on
         # device, so the top-K stays exact (hits.cc:168-180 semantics)
         upper_thr = jnp.asarray(
             [max(min(s[0].upperscorethreshold, 2**31 - 1), -2**31)
-             for s in slots], jnp.int32)
+             for s in slots] + pad_hi, jnp.int32)
         kbase = max(s[0].keephits for s in slots) + 64
         def drain(item):
             units, payload, reduced = item
@@ -560,7 +559,9 @@ class SearchEngine:
         qgroup = 1
         if not long:
             cap = dict(self.STREAM_CONFIGS)[nseqs]
-            qgroup = min(max(cap // qlen_pad, 1), len(slots))
+            # bound by the PADDED count so a padded tail group keeps the
+            # main groups' kernel shape
+            qgroup = min(max(cap // qlen_pad, 1), nslots_pad)
         # v4/v5p: split query groups across the chip's two TensorCores
         from .ops.sw_stream import is_megacore
         megacore = not interpret and is_megacore()
@@ -575,7 +576,7 @@ class SearchEngine:
             use_topk = kbase < units.shape[0]
             step = _fused_stream_step(
                 long, interpret, p.gapopenextend, p.gapextend, qgroup,
-                megacore, len(slots), use_topk, kbase,
+                megacore, nslots_pad, use_topk, kbase,
                 self.matrix.scorelimit_7, self.matrix.scorelimit_16)
             payload = step(qc, ql, m8, data, start, end_block, lane,
                            init_thr, upper_thr)
@@ -597,15 +598,23 @@ class SearchEngine:
         state (H/E rows + running S) flows chunk to chunk on device, so a
         100 Mbp sequence runs in nseqs x max_cols memory — the transpose
         of sw_scores_stream_long's query tiling, matching the reference's
-        unbounded-db-length semantics (search7.cc:787)."""
-        pending = []
-        for units, sc in self._iter_carry_scores(slots, qlen_pad, kind):
-            pending.append((units, sc))
-            if len(pending) >= self.CHUNK_WINDOW:
-                u, s = pending.pop(0)
-                self._enter_chunk(slots, u, s, False, timings)
-        for u, s in pending:
-            self._enter_chunk(slots, u, s, False, timings)
+        unbounded-db-length semantics (search7.cc:787).
+
+        Slots are processed SLOT_BATCH at a time for the same reason the
+        stream path batches them: the carried H/E state and the per-chunk
+        dump scale with the slot count, and some callers (the segment
+        fallback) pass the whole batch at once."""
+        step = self.SLOT_BATCH if qlen_pad <= 1024 else self.SLOT_BATCH_LONG
+        for i in range(0, len(slots), step):
+            group = slots[i:i + step]
+            pending = []
+            for units, sc in self._iter_carry_scores(group, qlen_pad, kind):
+                pending.append((units, sc))
+                if len(pending) >= self.CHUNK_WINDOW:
+                    u, s = pending.pop(0)
+                    self._enter_chunk(group, u, s, False, timings)
+            for u, s in pending:
+                self._enter_chunk(group, u, s, False, timings)
 
     def _iter_carry_scores(self, slots, qlen_pad, kind):
         """Walk the carry series, yielding (unit_ids, device scores
@@ -712,6 +721,12 @@ class SearchEngine:
         maxS = int(self.matrix.matrix.max())
         if maxS <= 0:
             return qlen_pad
+        if self.params.gapextend <= 0:
+            # free gap extension: the span of a positive-score alignment
+            # is unbounded, so segmentation is never exact — return a
+            # bound the `V <= max_cols // 2` gate always rejects, which
+            # routes giants to the carry/wavefront paths instead
+            return 1 << 62
         return qlen_pad + -(-qlen_pad * maxS // self.params.gapextend)
 
     def _iter_segmented_giants(self, slots, qlen_pad, V, interpret):
@@ -728,21 +743,7 @@ class SearchEngine:
         p = self.params
         nseqs = 2048 if qlen_pad <= dict(self.STREAM_CONFIGS)[2048] \
             else 1024
-        # stride adapts to the giant payload so mid-size genomes still
-        # fill the lanes (a few long pieces would idle most of them);
-        # piece length S+V always fits one chunk
-        total = sum(len(s) for s in self._giant_seqs)
-        S = max(total // (4 * nseqs), V, 1024)
-        S = min(S, self._max_cols - V)
-        pieces, owner = [], []
-        for gi, seq in enumerate(self._giant_seqs):
-            for pos in range(0, max(len(seq) - V, 1), S):
-                pieces.append(seq[pos: pos + S + V])
-                owner.append(gi)
-        owner = np.asarray(owner, dtype=np.int64)
-        chunks = pack_stream(pieces, nseqs=nseqs,
-                             max_cols=self._max_cols,
-                             seqnos=np.arange(len(pieces), dtype=np.int64))
+        owner, dev_chunks = self._seg_giant_chunks(nseqs, V)
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         qc, ql = jnp.asarray(qc), jnp.asarray(ql)
         m8 = jnp.asarray(build_matrix8(self.matrix.matrix))
@@ -754,23 +755,65 @@ class SearchEngine:
             sc = np.asarray(sc)
             np.maximum.at(best, (slice(None), owner[snos]), sc)
 
-        for ch in chunks:
-            # lane-major upload + device transpose (host transposes of
-            # multi-hundred-MB chunks are the slow part; cf.
-            # _dev_stream_chunks)
-            out = sw_scores_stream(qc, ql, m8, jnp.asarray(ch.data_t).T,
-                                   jnp.asarray(ch.start),
+        for data, start, end_block, lane, snos in dev_chunks:
+            out = sw_scores_stream(qc, ql, m8, data, start,
                                    gapopenextend=p.gapopenextend,
                                    gapextend=p.gapextend,
                                    interpret=interpret)
-            sc = gather_scores(out, jnp.asarray(ch.end_block),
-                               jnp.asarray(ch.lane))
-            pending.append((ch.seqnos, sc))
+            sc = gather_scores(out, end_block, lane)
+            pending.append((snos, sc))
             if len(pending) >= self.CHUNK_WINDOW:
                 fold(pending.pop(0))
         for item in pending:
             fold(item)
         yield self._giant_ids, best
+
+    def _seg_giant_chunks(self, nseqs: int, V: int):
+        """Owner map + device arrays of the giant-piece pack, cached per
+        (nseqs, V): slot groups and repeated queries re-walk the same
+        pieces, and re-slicing + re-uploading a genome-scale pack per
+        group would dominate wall clock (cf. _dev_stream_chunks)."""
+        import jax.numpy as jnp
+
+        from .batching import pack_stream
+        key = (nseqs, V)
+        if key not in self._seg_packs:
+            # stride adapts to the giant payload so mid-size genomes
+            # still fill the lanes (a few long pieces would idle most of
+            # them); piece length S+V always fits one chunk
+            total = sum(len(s) for s in self._giant_seqs)
+            S = max(total // (4 * nseqs), V, 1024)
+            S = min(S, self._max_cols - V)
+            pieces, owner = [], []
+            for gi, seq in enumerate(self._giant_seqs):
+                for pos in range(0, max(len(seq) - V, 1), S):
+                    pieces.append(seq[pos: pos + S + V])
+                    owner.append(gi)
+            self._seg_packs[key] = (
+                np.asarray(owner, dtype=np.int64),
+                pack_stream(pieces, nseqs=nseqs, max_cols=self._max_cols,
+                            seqnos=np.arange(len(pieces), dtype=np.int64)))
+        owner, chunks = self._seg_packs[key]
+
+        def prep(ch):
+            # lane-major upload + device transpose (host transposes of
+            # multi-hundred-MB chunks are the slow part; cf.
+            # _dev_stream_chunks)
+            return (jnp.asarray(ch.data_t).T, jnp.asarray(ch.start),
+                    jnp.asarray(ch.end_block), jnp.asarray(ch.lane),
+                    ch.seqnos)
+
+        # share the device-cache budget with _dev_stream_chunks (both
+        # caches hold HBM-resident int8 packs for the engine's lifetime)
+        cached = sum(sum(c.data_t.size for c in self._stream_packs[k])
+                     for k in self._dev_stream if k in self._stream_packs)
+        total = sum(c.data_t.size for c in chunks)
+        if key in self._dev_seg or \
+                cached + total <= self.DEVICE_CACHE_BYTES:
+            if key not in self._dev_seg:
+                self._dev_seg[key] = [prep(c) for c in chunks]
+            return owner, self._dev_seg[key]
+        return owner, (prep(c) for c in chunks)
 
     def _iter_wavefront_scores(self, slots, qlen_pad, interpret):
         """Score each giant unit with the anti-diagonal wavefront kernel
@@ -809,7 +852,9 @@ class SearchEngine:
                 if int(n63):
                     timings.rounds[63] += len(slots)
         else:
-            sc = np.asarray(payload)             # [NSLOTS, n_chunk_units]
+            # [NSLOTS_PAD, n_chunk_units]: drop dead padding rows (their
+            # zero scores would inflate the exact compute7 counter)
+            sc = np.asarray(payload)[:len(slots)]
             meta = self.unit_meta[units]
             for fi, (hits, qstrand, qframe, _) in enumerate(slots):
                 hits.enter_batch(meta[:, 0], sc[fi], qstrand, qframe,

@@ -366,3 +366,32 @@ def test_hint_ties_match_bruteforce_random(m62, go, ge):
             assert got[0] == 0
             continue
         assert got == want, (a.tolist(), b.tolist(), got, want)
+
+
+def test_hint_many_zero_gapextend(m62):
+    # free gap extension (-E 0) makes the positive-score span unbounded:
+    # _span_bound must disable giant segmentation (it used to divide by
+    # zero) and the batched pass must still match the scalar one
+    from swipe_tpu.ops import align_hint as AH
+    assert AH._span_bound(40, int(m62.matrix.max()), 0) is None
+    rng = np.random.default_rng(77)
+    q = rng.integers(1, 26, size=30, dtype=np.int8)
+    dseqs = [rng.integers(1, 26, size=int(rng.integers(10, 120)),
+                          dtype=np.int8) for _ in range(12)]
+    got = AH.hint_endpoints_many(q, dseqs, m62.matrix, 12, 0)
+    want = [AH.hint_endpoint(q, d, m62.matrix, 12, 0) for d in dseqs]
+    assert got == want
+
+
+def test_align_empty_subject_fatal(m62):
+    # empty query/subject pairs score 0 and must trip the internal-error
+    # fatal (the reference binary SEGFAULTS fetching + aligning an empty
+    # db sequence under -c 0; our fatal is the non-UB equivalent of its
+    # score-0 behavior) — the NumPy region() used to die on H.max() of a
+    # zero-size array instead
+    import pytest as _pytest
+    a = np.arange(1, 21, dtype=np.int8)
+    empty = np.zeros(0, dtype=np.int8)
+    for x, y in ((a, empty), (empty, a), (empty, empty)):
+        with _pytest.raises(RuntimeError, match="Internal error"):
+            align_py(x, y, m62.matrix, 11, 1)

@@ -176,3 +176,16 @@ def test_split_seqnos_volume_aligned(tmp_path):
                         "aa")
     r = split_seqnos(fdb, 2)
     assert r[0][0] == 0 and r[-1][1] == 3 and r[0][1] == r[1][0]
+
+
+def test_pick_stream_mode_routes_long_queries():
+    # queries beyond one VMEM tile must take the query-tiled kernel on
+    # the multi-host path too (the plain kernel's scratch would exceed
+    # the 16 MB VMEM budget at qlen_pad 2048 x 1024 lanes)
+    from swipe_tpu.parallel.multihost import _pick_stream_mode
+    assert _pick_stream_mode(False, 1024, 2048) == ("lax", 2048)
+    assert _pick_stream_mode(True, 1024, 512) == ("stream", 512)
+    assert _pick_stream_mode(True, 2048, 384) == ("stream", 384)
+    assert _pick_stream_mode(True, 2048, 512) == ("stream_long", 512)
+    mode, pad = _pick_stream_mode(True, 1024, 1152)
+    assert mode == "stream_long" and pad % 512 == 0 and pad >= 1152

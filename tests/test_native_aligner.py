@@ -59,3 +59,13 @@ def test_native_large_random(m62):
     want = align_py(a, b, m62.matrix, 11, 1)
     got = native.align(a, b, m62.matrix, 11, 1)
     assert got == want
+
+
+def test_native_empty_subject_fatal(m62):
+    # N == 0 used to write H[0] on a size-0 vector (heap corruption);
+    # now it trips the score-0 internal-error fatal like align_py
+    a = _rand_seq(np.random.default_rng(3), 20)
+    empty = np.zeros(0, dtype=np.int8)
+    for x, y in ((a, empty), (empty, a)):
+        with pytest.raises(RuntimeError, match="Internal error"):
+            native.align(x, y, m62.matrix, 11, 1)

@@ -738,3 +738,104 @@ def test_hitlist_candidate_compaction():
     hl.finalize()
     assert [(-h.score, -h.seqno) for h in hl.hits] == want
     assert hl.totalhits == 6000
+
+
+def test_engine_giant_zero_gapextend():
+    # -E 0 (free gap extension, legal input) makes the segmentation span
+    # bound infinite: _overlap_bound must route giants to the carry /
+    # wavefront paths instead of dividing by zero, and scores stay exact
+    rng = np.random.default_rng(41)
+    q = "".join(rng.choice(list(AA), 40))
+    parts = [(f"s{i} n", "".join(rng.choice(list(AA),
+                                            int(rng.integers(30, 100)))))
+             for i in range(10)]
+    parts.append(("s10 giant", "".join(rng.choice(list(AA), 4000)) + q))
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="ge0")
+    params = SearchParams(symtype=1, gapopen=12, gapextend=0,
+                          descriptions=20, alignments=2, expect=1e9)
+    eng = SearchEngine(db, params, max_cols=2048, backend="stream_interpret")
+    assert eng._giant_ids.size == 1
+    assert eng._overlap_bound(64) > eng._max_cols // 2   # no segmentation
+    query = preprocess_query("q", q, 1, 3)
+    hits = eng.search(query)
+    seqs = [np.asarray(db.get_sequence(i, 1)[0]) for i in range(len(parts))]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 12, 0)
+    for h in hits.hits:
+        assert h.score == want[h.seqno]
+    assert hits.hits[0].seqno == 10
+
+
+def test_engine_giant_batch_slot_groups_lax():
+    # a batch beyond SLOT_BATCH slots must flow through the carry series
+    # in bounded slot groups (the lax fallback used to pass every slot at
+    # once); batch results == per-query results
+    rng = np.random.default_rng(43)
+    parts = [(f"s{i} n", "".join(rng.choice(list(AA),
+                                            int(rng.integers(30, 90)))))
+             for i in range(8)]
+    parts.append(("s8 giant", "".join(rng.choice(list(AA), 9000))))
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="slotdb")
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=10, alignments=0, expect=1e9)
+    queries = [preprocess_query(f"q{i}",
+                                "".join(rng.choice(list(AA), 30)), 1, 3)
+               for i in range(20)]
+    eng = SearchEngine(db, params, max_cols=2048, backend="lax")
+    assert len(queries) > eng.SLOT_BATCH
+    batch = eng.search_batch(queries)
+    for q, hl in zip(queries, batch):
+        solo = SearchEngine(db, params, max_cols=2048,
+                            backend="lax").search(q)
+        assert [(h.seqno, h.score) for h in hl.hits] == \
+               [(h.seqno, h.score) for h in solo.hits]
+
+
+def test_segmented_giant_pack_cached():
+    # the giant piece pack (host slicing + device upload) is built once
+    # per (nseqs, V) and reused across searches and slot groups — a
+    # genome-scale pack used to be re-sliced and re-uploaded per group
+    rng = np.random.default_rng(47)
+    q = "".join(rng.choice(list(AA), 40))
+    parts = [("s0 giant", "".join(rng.choice(list(AA), 5000)) + q)]
+    fasta = "".join(f">{d}\n{s}\n" for d, s in parts)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="segcache")
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=5, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, max_cols=2048, backend="stream_interpret")
+    query = preprocess_query("q", q, 1, 3)
+    h1 = eng.search(query)
+    assert len(eng._seg_packs) == 1 and len(eng._dev_seg) == 1
+    h2 = eng.search(query)
+    assert len(eng._seg_packs) == 1 and len(eng._dev_seg) == 1
+    assert [(h.seqno, h.score) for h in h1.hits] == \
+           [(h.seqno, h.score) for h in h2.hits]
+    seqs = [np.asarray(db.get_sequence(0, 1)[0])]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    assert h1.hits[0].score == want[0]
+
+
+def test_cli_internal_align_error_is_clean_fatal(tmp_path, capsys):
+    # an empty db sequence shown under -c 0 trips the align phase's
+    # "Internal error in align function." — the CLI must render it as
+    # the reference's fatal() (bare message on stderr, exit 1), not a
+    # Python traceback.  (The reference binary itself SEGFAULTS on this
+    # input; the fatal matches its score-0 behavior, align.cc:156.)
+    import pytest as _pytest
+
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    from swipe_tpu.cli import main
+    from swipe_tpu.io.blastdb_writer import make_deflines, write_blastdb
+    seqs = [encode("ARNDCQEGHILKMFPSTWYV", MAP_NCBI_AA),
+            encode("", MAP_NCBI_AA)]
+    write_blastdb(str(tmp_path / "edb"), seqs,
+                  make_deflines(["s0 first", "s1 empty"]), "aa",
+                  title="edb")
+    qf = tmp_path / "q.fa"
+    qf.write_text(">q test\nARNDCQEGHILKMFPSTWYV\n")
+    with _pytest.raises(SystemExit) as exc:
+        main(["-d", str(tmp_path / "edb"), "-i", str(qf), "-c", "0",
+              "-e", "1e9", "-v", "10", "-b", "10", "--backend", "lax"])
+    assert exc.value.code == 1
+    assert capsys.readouterr().err == "Internal error in align function.\n"

@@ -379,3 +379,15 @@ def test_pack_stream_oversized_sequence(m62):
             gather_scores(out, ch.end_block, ch.lane))[0]
     want = sw_numpy_many(seqs[5], seqs, m62.matrix, 11, 1)
     assert np.array_equal(got, want)
+
+
+def test_megacore_env_override_parsing(monkeypatch):
+    # the documented escape hatch must treat common falsey strings as
+    # OFF ("false" used to silently enable the parallel group axis)
+    from swipe_tpu.ops.sw_stream import is_megacore
+    for v in ("0", "", "false", "False", "off", "no"):
+        monkeypatch.setenv("SWIPE_TPU_MEGACORE", v)
+        assert not is_megacore(), v
+    for v in ("1", "true", "YES", "on"):
+        monkeypatch.setenv("SWIPE_TPU_MEGACORE", v)
+        assert is_megacore(), v
