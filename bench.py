@@ -26,7 +26,34 @@ import numpy as np
 BASELINE_GCUPS = 106.0  # reference machine aggregate (Rognes 2011)
 
 
+def _backend_reachable(timeout: float = 900.0) -> bool:
+    """Probe backend init in a CHILD process: when the remote TPU tunnel
+    is down, jax.devices() blocks forever inside the plugin (observed:
+    >90 min), which would hang the whole bench run.  A child can be
+    killed; the parent then reports a parseable failure line instead."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "GCUPS_1chip_blastp_10kseq",
+            "value": 0.0,
+            "unit": "GCUPS",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable (TPU tunnel down?)",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
 
