@@ -66,13 +66,13 @@ def build_ref():
     return binpath
 
 
-def run_ours(args):
+def run_ours(args, backend="lax"):
     from contextlib import redirect_stdout
 
     from swipe_tpu.cli import main
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = main(args + ["--backend", "lax"])
+        rc = main(args + ["--backend", backend])
     assert rc == 0
     return buf.getvalue()
 
@@ -105,6 +105,18 @@ def one_case(ref_bin, d, rng, case):
                 desc = ">"        # empty description (query_show parity)
             f.write(f"{desc}\n{q}\n")
 
+    # occasional database-dump case (-N 1/2): no search at all
+    if rng.random() < 0.04:
+        args = ["-d", dbp, "-N", str(int(rng.integers(1, 3)))]
+        r = subprocess.run([ref_bin] + args, capture_output=True,
+                           timeout=120)
+        if r.returncode != 0:
+            return None
+        ours = normalize(run_ours(args))
+        if normalize(r.stdout.decode()) != ours:
+            return f"CASE {case} FAILED (dump): {' '.join(args)}"
+        return ""
+
     args = ["-p", mode, "-d", dbp, "-i", qf,
             "-m", str(rng.choice([0, 7, 8, 9, 99]))]
     if rng.random() < 0.3:
@@ -116,13 +128,28 @@ def one_case(ref_bin, d, rng, case):
                  "-v", str(int(rng.integers(1, 10)))]
     if rng.random() < 0.2:
         args += ["-c", str(int(rng.integers(1, 30)))]
+    if rng.random() < 0.15:
+        args += ["-u", str(int(rng.integers(20, 120)))]
     if rng.random() < 0.25 and mode != "blastn":
         args += ["-M", str(rng.choice(["BLOSUM50", "BLOSUM80", "PAM70"])),
                  "-G", "10", "-E", "1"]
+    elif rng.random() < 0.2 and mode != "blastn":
+        # standalone gap costs, incl. rows with no KA table (the
+        # statistics-unavailable warning path)
+        args += ["-G", str(int(rng.integers(6, 16))),
+                 "-E", str(int(rng.integers(1, 3)))]
+    if mode == "blastn" and rng.random() < 0.3:
+        rw, pn = [(1, -2), (1, -3), (1, -4), (2, -3), (4, -5),
+                  (1, -1)][int(rng.integers(0, 6))]
+        args += ["-r", str(rw), "-q", str(pn)]
     if rng.random() < 0.2 and mode in ("blastn", "blastx", "tblastx"):
         args += ["-S", str(int(rng.integers(1, 4)))]
     if rng.random() < 0.2:
         args += ["-I"]
+    if rng.random() < 0.1:
+        args += ["-H"]
+    if rng.random() < 0.1:
+        args += ["-a", str(int(rng.integers(1, 5)))]
     if rng.random() < 0.15:
         args += ["-z", str(int(rng.integers(1000, 10_000_000)))]
     if rng.random() < 0.15 and mode in ("blastx", "tblastx"):
@@ -136,7 +163,11 @@ def one_case(ref_bin, d, rng, case):
     ref_out = normalize(r.stdout.decode())
     extra = ["--batch", str(int(rng.integers(2, 5)))] \
         if rng.random() < 0.2 else []
-    our_out = normalize(run_ours(args + extra))
+    # a few cases per run drive the production stream path (interpret
+    # mode on CPU) through the full CLI->kernel->top-K->report chain
+    backend = "stream_interpret" if (not big and rng.random() < 0.03) \
+        else "lax"
+    our_out = normalize(run_ours(args + extra, backend))
     if ref_out != our_out:
         la, lb = ref_out.splitlines(), our_out.splitlines()
         diffs = []
