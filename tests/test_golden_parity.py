@@ -282,6 +282,15 @@ CASES = [
     ("blastx-m99", ["-p", "blastx", "-m", "99"], "prot", "qn.fa"),
     ("blastp-pam30", ["-p", "blastp", "-m", "9", "-M", "PAM30"],
      "prot", "qp.fa"),
+    # explicit -u upper score cutoff: hits above it are counted as
+    # "obvious" but excluded (hits.cc:168-180); the stream backend masks
+    # them inside the device top-K reduction
+    ("blastp-upper", ["-p", "blastp", "-m", "9", "-u", "40"],
+     "prot", "qp.fa"),
+    # blastn reward/penalty pair off the default (+1/-3): synthesized nt
+    # matrix + its KA table row
+    ("blastn-rq", ["-p", "blastn", "-m", "9", "-r", "2", "-q", "-3"],
+     "nucl", "qn.fa"),
 ]
 
 
@@ -305,7 +314,7 @@ STREAM_CASES = [
     "blastp-m8", "blastp-m0", "blastp-m7", "blastp-m99",
     "blastn-m8", "blastn-m0", "blastx-m9", "blastx-m0",
     "tblastn-m9", "tblastx-m9", "blastp-minexp", "blastp-evalue",
-    "blastn-strandminus", "blastp-b2v5",
+    "blastn-strandminus", "blastp-b2v5", "blastp-upper", "blastn-rq",
 ]
 
 
@@ -320,6 +329,40 @@ def test_golden_stream_backend(ref_swipe, dbs, name, args, db, qf):
     assert our_out == ref_out, (
         f"stream-backend mismatch for {name}\n--- first diff ---\n"
         + "\n".join(_first_diff(ref_out, our_out)))
+
+
+def test_golden_stdin_query(ref_swipe, dbs):
+    """Queries on standard input: explicit `-i -` and the no-flag default
+    both read stdin (query.cc uses '-' as the default query filename)."""
+    import io as _io
+    import sys
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main as cli_main
+
+    qbytes = (dbs / "qp.fa").read_bytes()
+    for args in (["-p", "blastp", "-m", "9", "-d", str(dbs / "prot"),
+                  "-i", "-"],
+                 ["-p", "blastp", "-m", "0", "-d", str(dbs / "prot")]):
+        r = subprocess.run([ref_swipe] + args, capture_output=True,
+                           timeout=300, input=qbytes)
+        assert r.returncode == 0, r.stderr.decode()[-500:]
+        buf = _io.StringIO()
+        old_stdin = sys.stdin
+        # the query reader wraps sys.stdin.buffer (io/fasta.py:122)
+        sys.stdin = _io.TextIOWrapper(_io.BytesIO(qbytes),
+                                      encoding="latin-1")
+        try:
+            with redirect_stdout(buf):
+                rc = cli_main(args + ["--backend", "lax"])
+        finally:
+            sys.stdin = old_stdin
+        assert rc == 0
+        ref_out = _normalize(r.stdout.decode())
+        our_out = _normalize(buf.getvalue())
+        assert our_out == ref_out, (
+            f"stdin-query mismatch for {args}\n"
+            + "\n".join(_first_diff(ref_out, our_out)))
 
 
 def _first_diff(a: str, b: str, n: int = 6):

@@ -66,13 +66,22 @@ def build_ref():
     return binpath
 
 
-def run_ours(args, backend="lax"):
+def run_ours(args, backend="lax", stdin_bytes=None):
     from contextlib import redirect_stdout
 
     from swipe_tpu.cli import main
     buf = io.StringIO()
-    with redirect_stdout(buf):
-        rc = main(args + ["--backend", backend])
+    old_stdin = sys.stdin
+    if stdin_bytes is not None:
+        # the query reader wraps sys.stdin.buffer (io/fasta.py), which a
+        # TextIOWrapper over BytesIO provides
+        sys.stdin = io.TextIOWrapper(io.BytesIO(stdin_bytes),
+                                     encoding="latin-1")
+    try:
+        with redirect_stdout(buf):
+            rc = main(args + ["--backend", backend])
+    finally:
+        sys.stdin = old_stdin
     assert rc == 0
     return buf.getvalue()
 
@@ -90,9 +99,29 @@ def one_case(ref_bin, d, rng, case):
         s = "".join(rng.choice(alpha, int(rng.integers(3, maxlen))))
         seqs.append(encode(s, cmap))
         descs.append(f"fz{i} fuzz sequence {i} with words")
+    taxids = None
+    if rng.random() < 0.12:
+        taxids = [int(rng.integers(1, 9)) * 100 for _ in range(nseq)]
+
+    def deflines(lo, hi):
+        return make_deflines(descs[lo:hi],
+                             taxids=taxids[lo:hi] if taxids else None)
+
     dbp = os.path.join(d, f"db{case}")
-    write_blastdb(dbp, seqs, make_deflines(descs), dbt,
-                  title=f"fuzz db {case}", date="Jun 6, 2025  6:06 PM")
+    if rng.random() < 0.10 and nseq >= 4:
+        # two volumes + DBLIST alias (paths relative to the alias file)
+        cut = nseq // 2
+        for v, (lo, hi) in enumerate(((0, cut), (cut, nseq))):
+            write_blastdb(f"{dbp}v{v}", seqs[lo:hi], deflines(lo, hi), dbt,
+                          title=f"fuzz vol {case}.{v}",
+                          date="Jun 6, 2025  6:06 PM")
+        ext = "pal" if protdb else "nal"
+        with open(f"{dbp}.{ext}", "w") as f:
+            f.write(f"TITLE  fuzz alias {case}\n"
+                    f"DBLIST db{case}v0 db{case}v1\n")
+    else:
+        write_blastdb(dbp, seqs, deflines(0, nseq), dbt,
+                      title=f"fuzz db {case}", date="Jun 6, 2025  6:06 PM")
 
     qalpha = AA if mode in ("blastp", "tblastn") else NT
     nq = int(rng.integers(1, 4))
@@ -156,8 +185,28 @@ def one_case(ref_bin, d, rng, case):
         args += ["-Q", str(rng.choice([1, 2, 5, 11]))]
     if rng.random() < 0.15 and mode in ("tblastn", "tblastx"):
         args += ["-D", str(rng.choice([1, 4]))]
+    if taxids and rng.random() < 0.8:
+        txf = os.path.join(d, f"tx{case}.txt")
+        pool = sorted(set(taxids))
+        pick = rng.choice(pool, size=int(rng.integers(1, len(pool) + 1)),
+                          replace=False)
+        with open(txf, "w") as f:
+            f.write("".join(f"{t}\n" for t in sorted(pick)))
+        args += ["-x", txf]
 
-    r = subprocess.run([ref_bin] + args, capture_output=True, timeout=120)
+    # stdin queries: explicit `-i -` or the no-flag default (both stdin)
+    stdin_bytes = None
+    if rng.random() < 0.08:
+        with open(qf, "rb") as fh:
+            stdin_bytes = fh.read()
+        i = args.index("-i")
+        if rng.random() < 0.5:
+            args[i + 1] = "-"
+        else:
+            del args[i:i + 2]
+
+    r = subprocess.run([ref_bin] + args, capture_output=True, timeout=120,
+                       input=stdin_bytes)
     if r.returncode != 0:
         return None  # reference rejected the combination; skip
     ref_out = normalize(r.stdout.decode())
@@ -167,7 +216,7 @@ def one_case(ref_bin, d, rng, case):
     # mode on CPU) through the full CLI->kernel->top-K->report chain
     backend = "stream_interpret" if (not big and rng.random() < 0.03) \
         else "lax"
-    our_out = normalize(run_ours(args + extra, backend))
+    our_out = normalize(run_ours(args + extra, backend, stdin_bytes))
     if ref_out != our_out:
         la, lb = ref_out.splitlines(), our_out.splitlines()
         diffs = []
