@@ -47,7 +47,7 @@ import pickle
 
 import numpy as np
 
-from ..pipeline import SearchEngine
+from ..pipeline import SearchEngine, reverse_tie_order
 
 __all__ = ["init_multihost", "split_seqnos", "MultiHostEngine"]
 
@@ -221,7 +221,13 @@ class MultiHostEngine(SearchEngine):
         self._giant_seqs = [self._local_seqs[i] for i in giant]
         self._local_unit_ids = self._local_unit_ids[normal]
         self._local_seqs = [self._local_seqs[i] for i in normal]
+        # caches the giant-unit routes reach through the base class
+        # (_iter_carry_scores -> _iter_segmented_giants/_seg_giant_chunks)
         self._carry_packs = {}
+        self._stream_packs = {}
+        self._dev_stream = {}
+        self._seg_packs = {}
+        self._dev_seg = {}
         # lanes per host must split evenly over the host's devices
         if nseqs % self._n_local:
             nseqs += self._n_local - nseqs % self._n_local
@@ -279,7 +285,8 @@ class MultiHostEngine(SearchEngine):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..ops.sw_pallas import PAD_SYMBOL
-        from ..ops.sw_stream import build_matrix8, build_qcodes
+        from ..ops.sw_stream import (build_matrix8, build_matrix_wide,
+                                     build_qcodes)
         p = self.params
         lpd = self._nseqs_local // self._n_local   # lanes per device
         use_pallas = (self.backend == "stream" and self.matrix.fits_int8
@@ -303,7 +310,10 @@ class MultiHostEngine(SearchEngine):
         round_m = np.maximum(meta[:, :, 1].max(axis=0), 1)
 
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
-        m8 = build_matrix8(self.matrix.matrix)
+        # the lax twin scores any int32 matrix; the Pallas kernel needs
+        # int8 (use_pallas is already False when the matrix doesn't fit)
+        m8 = build_matrix8(self.matrix.matrix) if self.matrix.fits_int8 \
+            else build_matrix_wide(self.matrix.matrix)
         thr = np.asarray(
             [max(min(s[0].init_threshold, 2**31 - 1), -2**31)
              for s in slots], np.int32)
@@ -342,9 +352,10 @@ class MultiHostEngine(SearchEngine):
                 dev = ch.lane // lpd
                 for d in range(self._n_local):
                     g = np.nonzero(dev == d)[0]
-                    # ascending unit order per device — required by the
-                    # reversed-top_k tie selection in the step
-                    g = g[np.argsort(ch.seqnos[g], kind="stable")]
+                    # reverse tie preference per device — required by the
+                    # reversed-top_k selection in the step (same invariant
+                    # as pipeline._dev_stream_chunks)
+                    g = g[reverse_tie_order(self.unit_meta[ch.seqnos[g]])]
                     eb[d, : len(g)] = ch.end_block[g]
                     ln[d, : len(g)] = ch.lane[g] - d * lpd
                     un[d, : len(g)] = ch.seqnos[g]

@@ -36,6 +36,15 @@ from .stats import EvalueModel
 __all__ = ["SearchEngine", "SearchParams", "SearchTimings"]
 
 
+def reverse_tie_order(meta: np.ndarray) -> np.ndarray:
+    """Column order for the device-side top-K: units must ascend in the
+    REVERSE of the hit list's tie preference (score desc, seqno desc,
+    dstrand asc, dframe asc — hits.finalize), because the reversed
+    lax.top_k in the reductions prefers the highest column on ties.
+    ``meta`` is [n, 3] rows of (seqno, dstrand, dframe)."""
+    return np.lexsort((-meta[:, 2], -meta[:, 1], meta[:, 0]))
+
+
 def _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16):
     """Device-side per-chunk hit reduction: top-K candidates + counters.
 
@@ -453,13 +462,7 @@ class SearchEngine:
         import jax.numpy as jnp
 
         def prep(c):
-            # score columns must ascend in the REVERSE of the hit list's
-            # tie preference (score desc, seqno desc, dstrand asc, dframe
-            # asc — hits.finalize) because the reversed lax.top_k in
-            # _chunk_reduce_impl prefers the highest column on ties: sort by
-            # (seqno asc, dstrand desc, dframe desc)
-            meta = self.unit_meta[c.seqnos]
-            order = np.lexsort((-meta[:, 2], -meta[:, 1], meta[:, 0]))
+            order = reverse_tie_order(self.unit_meta[c.seqnos])
             # upload lane-major and transpose on device (the host-side
             # transpose of a multi-hundred-MB chunk is the slow part)
             return (jnp.asarray(c.data_t).T, jnp.asarray(c.start),
@@ -737,7 +740,6 @@ class SearchEngine:
         the max over its pieces, exact by the _overlap_bound argument."""
         import jax.numpy as jnp
 
-        from .batching import pack_stream
         from .ops.sw_stream import (build_matrix8, build_qcodes,
                                     gather_scores, sw_scores_stream)
         p = self.params
@@ -803,10 +805,13 @@ class SearchEngine:
                     jnp.asarray(ch.end_block), jnp.asarray(ch.lane),
                     ch.seqnos)
 
-        # share the device-cache budget with _dev_stream_chunks (both
-        # caches hold HBM-resident int8 packs for the engine's lifetime)
+        # share the device-cache budget with _dev_stream_chunks AND the
+        # giant-piece packs already cached under other (nseqs, V) keys
+        # (all hold HBM-resident int8 packs for the engine's lifetime)
         cached = sum(sum(c.data_t.size for c in self._stream_packs[k])
                      for k in self._dev_stream if k in self._stream_packs)
+        cached += sum(sum(c.data_t.size for c in self._seg_packs[k][1])
+                      for k in self._dev_seg if k in self._seg_packs)
         total = sum(c.data_t.size for c in chunks)
         if key in self._dev_seg or \
                 cached + total <= self.DEVICE_CACHE_BYTES:

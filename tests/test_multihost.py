@@ -178,6 +178,111 @@ def test_split_seqnos_volume_aligned(tmp_path):
     assert r[0][0] == 0 and r[-1][1] == 3 and r[0][1] == r[1][0]
 
 
+def test_reverse_tie_order_property():
+    # the shared device-top-K column order: units ascend in the exact
+    # reverse of the hit list's tie preference (score desc, seqno desc,
+    # dstrand asc, dframe asc), so the reversed lax.top_k keeps the
+    # preferred member of every tied group
+    from swipe_tpu.pipeline import reverse_tie_order
+    rng = np.random.default_rng(5)
+    meta = np.stack([rng.integers(0, 50, 300),
+                     rng.integers(1, 3, 300),
+                     rng.integers(0, 3, 300)], axis=1)
+    meta = np.unique(meta, axis=0)
+    rng.shuffle(meta)
+    rows = [tuple(r) for r in meta[reverse_tie_order(meta)]]
+    pref = sorted({tuple(r) for r in meta},
+                  key=lambda r: (-r[0], r[1], r[2]))
+    assert rows == pref[::-1]
+
+
+def _mh_vs_single(db_fasta, dbtype, query, params):
+    """In-process 1-'host' MultiHostEngine vs the single-host engine over
+    the same db; returns both hit tuples lists."""
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.parallel.multihost import MultiHostEngine
+    from swipe_tpu.pipeline import SearchEngine
+
+    mh = MultiHostEngine(FastaDatabase(io.StringIO(db_fasta), dbtype),
+                         params, backend="lax").search_batch([query])[0]
+    sh = SearchEngine(FastaDatabase(io.StringIO(db_fasta), dbtype),
+                      params, backend="lax").search_batch([query])[0]
+    key = lambda h: (h.seqno, h.score, h.dstrand, h.dframe)  # noqa: E731
+    return [key(h) for h in mh.hits], [key(h) for h in sh.hits]
+
+
+def test_multihost_wide_matrix_lax():
+    # matrices outside int8 must ride the lax twin end to end
+    # (regression: build_matrix8 used to be called unconditionally and
+    # raised for them)
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.pipeline import SearchParams
+    rng = np.random.default_rng(13)
+    NT = list("ACGT")
+    qn = "".join(rng.choice(NT, 60))
+    fasta = "".join(
+        ">w%d wide %d\n%s\n" % (i, i, "".join(
+            rng.choice(NT, int(rng.integers(50, 150)))))
+        for i in range(40)) + f">wq planted\n{qn}\n"
+    params = SearchParams(symtype=0, matchscore=2, mismatchscore=-300,
+                          gapopen=5, gapextend=2, descriptions=20,
+                          alignments=0, expect=1e12)
+    query = preprocess_query("q", qn, 0, 3)
+    got, want = _mh_vs_single(fasta, "nt", query, params)
+    assert got == want and len(got) > 0
+
+
+def test_multihost_tie_membership_translated():
+    # identical translated db sequences tie en masse at the per-device
+    # top-K boundary; the kept members must match the host path's tie
+    # preference (mirror of test_device_topk_tie_membership_translated
+    # across the multi-host step's per-device column ordering)
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.pipeline import SearchParams
+    rng = np.random.default_rng(71)
+    NT = list("ACGT")
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    s = "".join(rng.choice(NT, 90))
+    fasta = "".join(f">t{i} same {i}\n{s}\n" for i in range(150))
+    params = SearchParams(symtype=3, gapopen=11, gapextend=1,
+                          descriptions=10, alignments=0, expect=1e9)
+    query = preprocess_query("qt", "".join(rng.choice(AA, 30)), 3, 3)
+    got, want = _mh_vs_single(fasta, "nt", query, params)
+    assert got == want and len(got) == 10
+
+
+def test_multihost_giant_segmented_route():
+    # a giant unit must reach the exact-overlapped-segmentation route
+    # through the caches the single-host engine builds lazily
+    # (regression: MultiHostEngine's slim init omitted
+    # _seg_packs/_dev_stream/_stream_packs/_dev_seg and crashed with
+    # AttributeError on the stream backend)
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.ops.sw_ref import sw_numpy
+    from swipe_tpu.parallel.multihost import MultiHostEngine
+    from swipe_tpu.pipeline import SearchParams
+    rng = np.random.default_rng(77)
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    q = "".join(rng.choice(AA, 40))
+    giant = "".join(rng.choice(AA, 5000)) + q + "".join(rng.choice(AA, 60))
+    fasta = f">g0 giant\n{giant}\n" + "".join(
+        ">s%d small\n%s\n" % (i, "".join(rng.choice(AA, 60)))
+        for i in range(16))
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=20, alignments=0, expect=1e9)
+    eng = MultiHostEngine(FastaDatabase(io.StringIO(fasta), "aa"),
+                          params, max_cols=2048, backend="lax")
+    query = preprocess_query("q", q, 1, 3)
+    slots = [(None, 1, 0, query.aa[0])]
+    (ids, sc), = list(eng._iter_carry_scores(slots, 64,
+                                             "stream_interpret"))
+    assert list(ids) == [0]
+    want = sw_numpy(query.aa[0], eng._giant_seqs[0],
+                    eng.matrix.matrix, 11, 1)
+    assert int(np.asarray(sc)[0, 0]) == want
+
+
 def test_pick_stream_mode_routes_long_queries():
     # queries beyond one VMEM tile must take the query-tiled kernel on
     # the multi-host path too (the plain kernel's scratch would exceed
