@@ -327,8 +327,10 @@ def pack_stream_carry(seqs: list[np.ndarray], nseqs: int = 1024,
     for c in range(nchunks):
         lo = c * H
         # uniform height except the last chunk (bucketed to 8 blocks for
-        # bounded compile-cache shapes)
-        hc = H if c < nchunks - 1 else round_up(total_blocks - lo, 8)
+        # bounded compile-cache shapes; capped at H so the documented
+        # nseqs x max_cols footprint bound holds when H % 8 != 0 — the
+        # capped shape equals the main chunks' already-compiled one)
+        hc = H if c < nchunks - 1 else min(round_up(total_blocks - lo, 8), H)
         hi = lo + hc
         data_t = np.full((nused, hc * block), PAD_SYMBOL, dtype=np.int8)
         start = np.zeros((hc, nused), dtype=np.int8)

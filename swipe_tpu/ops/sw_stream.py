@@ -199,7 +199,7 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
 
 
 def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
-                   Q: int, R: int, clamp: int | None, carry: bool = True):
+                   Q: int, R: int, clamp: int | None):
     """One (query, db-block) grid step of the CARRY variant
     (sw_scores_stream_carry; the plain path uses _stream_kernel_grouped).
 
@@ -308,19 +308,18 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     s_ref[...] = s
     out_ref[0, 0] = s
 
-    if carry:
-        @pl.when(b == pl.num_programs(1) - 1)
-        def _store():
-            cps = [pltpu.make_async_copy(hst_ref, hout_ref.at[qi],
-                                         dma_sem.at[0]),
-                   pltpu.make_async_copy(est_ref, eout_ref.at[qi],
-                                         dma_sem.at[1]),
-                   pltpu.make_async_copy(s_ref, sout_ref.at[qi],
-                                         dma_sem.at[2])]
-            for cp in cps:
-                cp.start()
-            for cp in cps:
-                cp.wait()
+    @pl.when(b == pl.num_programs(1) - 1)
+    def _store():
+        cps = [pltpu.make_async_copy(hst_ref, hout_ref.at[qi],
+                                     dma_sem.at[0]),
+               pltpu.make_async_copy(est_ref, eout_ref.at[qi],
+                                     dma_sem.at[1]),
+               pltpu.make_async_copy(s_ref, sout_ref.at[qi],
+                                     dma_sem.at[2])]
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
 
 
 def is_megacore() -> bool:
@@ -449,6 +448,26 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     return out.reshape(nq_pad, nblocks, nseqs)[:nq]
 
 
+def _pad_to_state_width(db, start, nseqs_state: int):
+    """PAD-expand a compact carry chunk to the carry state's lane count.
+
+    pack_stream_carry emits chunks holding only the used lanes so idle
+    lanes never cross the host->device link; the kernels need the full
+    state width, so the missing lanes are PAD-filled (and never reset by
+    the start mask) on device.  Returns (db, start, nseqs)."""
+    L, nseqs = db.shape
+    if nseqs < nseqs_state:
+        db = jnp.concatenate(
+            [db, jnp.full((L, nseqs_state - nseqs), PAD_SYMBOL, db.dtype)],
+            axis=1)
+        start = jnp.concatenate(
+            [start,
+             jnp.zeros((start.shape[0], nseqs_state - nseqs), start.dtype)],
+            axis=1)
+        nseqs = nseqs_state
+    return db, start, nseqs
+
+
 def make_stream_state(nq: int, qlen_pad: int, nseqs: int):
     """Fresh (h, e, s) carry state for a pack_stream_carry series
     (the kernel layout: lane i -> (sublane i // nl, lane i % nl))."""
@@ -482,17 +501,9 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     device, so idle lanes never cross the host->device link.
     """
     nq, qlen_pad = qcodes.shape
-    L, nseqs = db.shape
-    nseqs_state = h.shape[2] * h.shape[3]
-    if nseqs < nseqs_state:
-        db = jnp.concatenate(
-            [db, jnp.full((L, nseqs_state - nseqs), PAD_SYMBOL, db.dtype)],
-            axis=1)
-        start = jnp.concatenate(
-            [start,
-             jnp.zeros((start.shape[0], nseqs_state - nseqs), start.dtype)],
-            axis=1)
-        nseqs = nseqs_state
+    db, start, nseqs = _pad_to_state_width(db, start,
+                                           h.shape[2] * h.shape[3])
+    L = db.shape[0]
     if L % KSEG:
         raise ValueError(f"db length {L} not a multiple of {KSEG}")
     if nseqs % (SUB * 128):
@@ -505,8 +516,7 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
 
     kernel = functools.partial(
-        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp,
-        carry=True)
+        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -637,7 +647,11 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
                 p = dprof_ref[qsyms[k], j]
                 h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
                                 jnp.maximum(ehat[k], fhat))
-                upd = h > cm_ref[j]
+                # rows past qlen (the RU round-up overhang) must not win
+                # the column max: their PAD score is only -128, so with
+                # gapopenextend > 128 an overhang diag step could beat
+                # the real rows at a segmented lane's first owned column
+                upd = (h > cm_ref[j]) & (base + k < qlen)
                 cm_ref[j] = jnp.where(upd, h, cm_ref[j])
                 ra_ref[j] = jnp.where(upd, base + k, ra_ref[j])
                 hq = h - Q
@@ -1284,20 +1298,14 @@ def sw_scores_stream_carry_long(qcodes, qlens, matrix8, db, start,
     missing lanes are PAD-filled on device.
     """
     nq, qlen_pad = qcodes.shape
-    L, nseqs = db.shape
-    nseqs_state = h.shape[3] * h.shape[4]
-    if nseqs < nseqs_state:
-        db = jnp.concatenate(
-            [db, jnp.full((L, nseqs_state - nseqs), PAD_SYMBOL, db.dtype)],
-            axis=1)
-        start = jnp.concatenate(
-            [start,
-             jnp.zeros((start.shape[0], nseqs_state - nseqs), start.dtype)],
-            axis=1)
-        nseqs = nseqs_state
+    db, start, nseqs = _pad_to_state_width(db, start,
+                                           h.shape[3] * h.shape[4])
+    L = db.shape[0]
     if qlen_pad % tile_rows:
         raise ValueError(f"qlen_pad {qlen_pad} not a multiple of "
                          f"tile_rows {tile_rows}")
+    if tile_rows % RU:
+        raise ValueError(f"tile_rows {tile_rows} not a multiple of RU={RU}")
     if L % KSEG:
         raise ValueError(f"db length {L} not a multiple of {KSEG}")
     if nseqs % (SUB * 128):
@@ -1354,6 +1362,10 @@ def sw_scores_stream_long(qcodes, qlens, matrix8, db, start, *,
                          f"tile_rows {tile_rows}")
     if tile_rows % RU:
         raise ValueError(f"tile_rows {tile_rows} not a multiple of RU={RU}")
+    if L % KSEG:
+        raise ValueError(f"db length {L} not a multiple of {KSEG}")
+    if nseqs % (SUB * 128):
+        raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
     nl = nseqs // SUB
     nblocks = L // KSEG
     db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)

@@ -246,6 +246,33 @@ def test_hint_pallas_kernel_matches_numpy(m62):
         assert got == want
 
 
+def test_hint_pallas_overhang_rows_high_gap(m62):
+    # gapopenextend > 128 exceeds the PAD row score (-128), so a query
+    # row past qlen (the RU round-up overhang) could beat the real rows'
+    # column max at a segmented lane's first owned column; the kernel
+    # masks overhang rows out of the cm/ra update.  One lane plants a
+    # full-query match just before its owned region so the overhang diag
+    # step would win there pre-fix.
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(58)
+    q = rng.integers(1, 21, size=37, dtype=np.int8)      # 37 % 4 != 0
+    dseqs = [rng.integers(1, 21, size=int(rng.integers(40, 200)),
+                          dtype=np.int8) for _ in range(23)]
+    planted = np.concatenate(
+        [q, rng.integers(1, 21, size=80).astype(np.int8)])
+    dseqs.append(planted)
+    lens = np.array([len(d) for d in dseqs], dtype=np.int64)
+    st = np.array([int(rng.integers(0, 30)) for _ in range(23)] + [37],
+                  dtype=np.int64)
+    mat = np.asarray(m62.matrix, dtype=np.int64).reshape(32, 32)
+    got = AH._hint_endpoints_pallas(q.astype(np.int64), dseqs, lens, mat,
+                                    140, 1, starts=st, interpret=True)
+    want = AH._hint_endpoints_lax(q.astype(np.int64), dseqs, lens, mat,
+                                  140, 1, starts=st)
+    assert got == want
+    assert all(bq < 37 for _, bq, _ in got)  # no overhang row reported
+
+
 def test_hinted_align_window_matches_full(m62):
     # with a hint, align() cuts the subject to the span-bound window
     # ending at b_end; result must be identical to the unwindowed

@@ -145,6 +145,10 @@ def random_case(rng, d):
         args += ["-u", str(int(rng.integers(30, 200)))]
     if prog == "blastn" and rng.integers(0, 3) == 0:
         args += ["-S", str(rng.choice([1, 2, 3]))]
+    if prog == "blastn" and rng.integers(0, 4) == 0:
+        # incl. penalties outside int8 (the wide-matrix lax route)
+        args += ["-r", str(int(rng.integers(1, 5))),
+                 "-q", str(-int(rng.choice([2, 4, 150, 300])))]
     if not q_nt or prog in ("blastx", "tblastx"):
         if rng.integers(0, 3) == 0:
             args += ["-M", str(rng.choice(["BLOSUM50", "BLOSUM80",
