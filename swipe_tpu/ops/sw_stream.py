@@ -107,6 +107,98 @@ def build_qcodes(queries: list[np.ndarray], qlen_pad: int
     return qc, ql
 
 
+def _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref):
+    """Block score profile via a one-hot int8 MXU matmul — the TPU
+    equivalent of the reference's dprofile_fill7/shuffle7 builders
+    (search7.cc:50-51, 185-186).  The one-hot stages through int8 VMEM
+    scratch (measured ~20% faster than feeding dot_general directly)."""
+    nl = db_ref.shape[1]
+    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
+    dblk = db_ref[...].astype(jnp.int32)                # [KSEG*SUB, NL]
+    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+    dprof_ref[...] = jax.lax.dot_general(
+        m8_ref[...], oh_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(32, KSEG, SUB, nl)
+
+
+def _scoring_cell(clamp):
+    """Per-cell hook of the scoring kernels: saturate (16-bit-tier
+    compatibility mode) and fold the running max."""
+    def cell(h, rbase, k, j, s):
+        if clamp is not None:
+            h = jnp.minimum(h, clamp)
+        return h, jnp.maximum(s, h)
+    return cell
+
+
+def _make_row_body(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+                   *, qi, qoff, soff, reset, Q, R, cell):
+    """The shared RU-blocked, pre-advanced-E/F stream recurrence.
+
+    Every stream kernel runs this same inner loop: RU query rows per
+    fori_loop step so the dprofile/hrow/frow traffic amortizes over the
+    row group (the blocking SWIPE's ONESTEP macro does 2 rows at a time,
+    search7.cc:623-645), with E and F stored pre-advanced into the next
+    cell so the shared H-Q term is subtracted once (search7.cc:585-595).
+    Rows beyond qlen see the PAD profile and decay.
+
+    Returns a fori_loop body with carry (diag0, acc): diag0 is the
+    previous block's last-row H at the previous column; ``acc`` threads
+    the caller's accumulator through the per-cell hook
+    ``cell(h, rbase, k, col, acc) -> (h', acc')`` (scoring kernels clamp
+    and fold the running max; the hint kernel updates its column-max/row
+    scratch at query row rbase + k).  A row's query symbol reads
+    qc_ref[qi, qoff + row] and its H/E state lives at soff + row (the
+    grouped kernel packs members at soff = qg * qlen_pad; the tiled
+    kernels read query rows at qoff = tile * tile_rows; static zero
+    offsets fold away at trace time).  reset is the start-mask lane
+    reset; None skips it (the hint kernel holds one whole sequence per
+    lane).
+    """
+    def row_body(rb, carry):
+        diag0, acc = carry
+        rbase = rb * RU
+        base = rbase if isinstance(soff, int) and soff == 0 \
+            else soff + rbase
+        qb = rbase if isinstance(qoff, int) and qoff == 0 \
+            else qoff + rbase
+        qsyms = [qc_ref[qi, qb + k] for k in range(RU)]
+        if reset is None:
+            hst_olds = [hst_ref[base + k] for k in range(RU)]
+            ehat = [est_ref[base + k] for k in range(RU)]
+        else:
+            hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
+                        for k in range(RU)]
+            ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                    for k in range(RU)]
+        diag = [diag0] + hst_olds[: RU - 1]
+        hs = list(hst_olds)
+        for j in range(KSEG):
+            hprev = hrow_ref[j]
+            fhat = frow_ref[j]
+            hs = []
+            for k in range(RU):
+                p = dprof_ref[qsyms[k], j]
+                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
+                                jnp.maximum(ehat[k], fhat))
+                h, acc = cell(h, rbase, k, j, acc)
+                hq = h - Q
+                ehat[k] = jnp.maximum(ehat[k] - R, hq)
+                fhat = jnp.maximum(fhat - R, hq)
+                hs.append(h)
+            hrow_ref[j] = hs[-1]
+            frow_ref[j] = fhat
+            diag = [hprev] + hs[: RU - 1]
+        for k in range(RU):
+            hst_ref[base + k] = hs[k]
+            est_ref[base + k] = ehat[k]
+        return hst_olds[RU - 1], acc
+
+    return row_body
+
+
 def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
                            out_ref, hst_ref, est_ref, hrow_ref, frow_ref,
                            s_ref, oh_ref, dprof_ref, *,
@@ -138,57 +230,19 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
     # ---- dprofile: built once per (group, block), reused by members ---------
     @pl.when(qg == 0)
     def _dprofile():
-        sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
-        dblk = db_ref[...].astype(jnp.int32)                # [KSEG*SUB, NL]
-        oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
-        dprof_ref[...] = jax.lax.dot_general(
-            m8_ref[...], oh_ref[...],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).reshape(32, KSEG, SUB, nl)
+        _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
     frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
 
     qlen = ql_ref[qi]
-
-    def row_body(rb, carry_):
-        # same RU-blocked, pre-advanced-E/F recurrence as the carry
-        # kernel (_stream_kernel), with rows offset into the member's
-        # slice of the shared state
-        diag0, s = carry_
-        base = off + rb * RU
-        qsyms = [qc_ref[qi, rb * RU + k] for k in range(RU)]
-        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
-                    for k in range(RU)]
-        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                for k in range(RU)]
-        diag = [diag0] + hst_olds[: RU - 1]
-        hs = list(hst_olds)
-        for j in range(KSEG):
-            hprev = hrow_ref[j]
-            fhat = frow_ref[j]
-            hs = []
-            for k in range(RU):
-                p = dprof_ref[qsyms[k], j]
-                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(ehat[k], fhat))
-                if clamp is not None:
-                    h = jnp.minimum(h, clamp)
-                s = jnp.maximum(s, h)
-                hq = h - Q
-                ehat[k] = jnp.maximum(ehat[k] - R, hq)
-                fhat = jnp.maximum(fhat - R, hq)
-                hs.append(h)
-            hrow_ref[j] = hs[-1]
-            frow_ref[j] = fhat
-            diag = [hprev] + hs[: RU - 1]
-        for k in range(RU):
-            hst_ref[base + k] = hs[k]
-            est_ref[base + k] = ehat[k]
-        return hst_olds[RU - 1], s
-
+    # the shared recurrence, with rows offset into the member's slice of
+    # the group's co-resident state
+    row_body = _make_row_body(
+        qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+        qi=qi, qoff=0, soff=off, reset=reset, Q=Q, R=R,
+        cell=_scoring_cell(clamp))
     nrb = (qlen + RU - 1) // RU
     _, s = jax.lax.fori_loop(
         0, nrb, row_body,
@@ -240,17 +294,7 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
             cp.wait()
 
     # ---- dprofile: one-hot matmul on the MXU --------------------------------
-    # the one-hot is staged through an int8 VMEM scratch on purpose:
-    # feeding the compare result to dot_general directly measured ~20%
-    # slower end-to-end (Mosaic materializes it in a worse layout)
-    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
-    dblk = db_ref[...].astype(jnp.int32)                    # [KSEG*SUB, NL]
-    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
-    dprof_ref[...] = jax.lax.dot_general(
-        m8_ref[...], oh_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).reshape(32, KSEG, SUB, nl)
+    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
 
     # ---- lane refill: reset state where a new sequence starts ---------------
     reset = start_ref[0] != 0                               # [SUB, NL] bool
@@ -258,48 +302,10 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
 
     qlen = ql_ref[qi]
-
-    def row_body(rb, carry):
-        # RU query rows per step: p/hrow/frow traffic amortizes over the
-        # row group (rows beyond qlen see the PAD profile and decay).  The
-        # intra-group chains (F down rows, diagonal) stay in registers —
-        # the same blocking SWIPE's ONESTEP macro does 2 rows at a time
-        # (search7.cc:623-645).  E and F are stored pre-advanced into the
-        # next cell so the shared H-Q term is subtracted once, exactly as
-        # ONESTEP does (search7.cc:585-595).
-        diag0, s = carry
-        base = rb * RU
-        qsyms = [qc_ref[qi, base + k] for k in range(RU)]
-        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
-                    for k in range(RU)]
-        # est holds E already advanced into this block's first column
-        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                for k in range(RU)]
-        diag = [diag0] + hst_olds[: RU - 1]
-        hs = list(hst_olds)
-        for j in range(KSEG):
-            hprev = hrow_ref[j]
-            fhat = frow_ref[j]       # F advanced into row ``base``, col j
-            hs = []
-            for k in range(RU):
-                p = dprof_ref[qsyms[k], j]                  # [SUB, NL]
-                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(ehat[k], fhat))
-                if clamp is not None:
-                    h = jnp.minimum(h, clamp)
-                s = jnp.maximum(s, h)
-                hq = h - Q
-                ehat[k] = jnp.maximum(ehat[k] - R, hq)
-                fhat = jnp.maximum(fhat - R, hq)
-                hs.append(h)
-            hrow_ref[j] = hs[-1]
-            frow_ref[j] = fhat
-            diag = [hprev] + hs[: RU - 1]
-        for k in range(RU):
-            hst_ref[base + k] = hs[k]
-            est_ref[base + k] = ehat[k]
-        return hst_olds[RU - 1], s
-
+    row_body = _make_row_body(
+        qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+        qi=qi, qoff=0, soff=0, reset=reset, Q=Q, R=R,
+        cell=_scoring_cell(clamp))
     nrb = (qlen + RU - 1) // RU
     _, s = jax.lax.fori_loop(
         0, nrb, row_body,
@@ -616,14 +622,7 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
         bq_ref[...] = jnp.full_like(bq_ref, -1)
         bp_ref[...] = jnp.zeros_like(bp_ref)
 
-    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
-    dblk = db_ref[...].astype(jnp.int32)
-    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
-    dprof_ref[...] = jax.lax.dot_general(
-        m8_ref[...], oh_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).reshape(32, KSEG, SUB, nl)
+    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
 
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
     frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
@@ -632,42 +631,22 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
 
     qlen = ql_ref[0]
 
-    def row_body(rb, diag0):
-        base = rb * RU
-        qsyms = [qc_ref[0, base + k] for k in range(RU)]
-        hst_olds = [hst_ref[base + k] for k in range(RU)]
-        ehat = [est_ref[base + k] for k in range(RU)]
-        diag = [diag0] + hst_olds[: RU - 1]
-        hs = list(hst_olds)
-        for j in range(KSEG):
-            hprev = hrow_ref[j]
-            fhat = frow_ref[j]
-            hs = []
-            for k in range(RU):
-                p = dprof_ref[qsyms[k], j]
-                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(ehat[k], fhat))
-                # rows past qlen (the RU round-up overhang) must not win
-                # the column max: their PAD score is only -128, so with
-                # gapopenextend > 128 an overhang diag step could beat
-                # the real rows at a segmented lane's first owned column
-                upd = (h > cm_ref[j]) & (base + k < qlen)
-                cm_ref[j] = jnp.where(upd, h, cm_ref[j])
-                ra_ref[j] = jnp.where(upd, base + k, ra_ref[j])
-                hq = h - Q
-                ehat[k] = jnp.maximum(ehat[k] - R, hq)
-                fhat = jnp.maximum(fhat - R, hq)
-                hs.append(h)
-            hrow_ref[j] = hs[-1]
-            frow_ref[j] = fhat
-            diag = [hprev] + hs[: RU - 1]
-        for k in range(RU):
-            hst_ref[base + k] = hs[k]
-            est_ref[base + k] = ehat[k]
-        return hst_olds[RU - 1]
+    def hint_cell(h, rbase, k, j, acc):
+        # rows past qlen (the RU round-up overhang) must not win the
+        # column max: their PAD score is only -128, so with
+        # gapopenextend > 128 an overhang diag step could beat the real
+        # rows at a segmented lane's first owned column
+        upd = (h > cm_ref[j]) & (rbase + k < qlen)
+        cm_ref[j] = jnp.where(upd, h, cm_ref[j])
+        ra_ref[j] = jnp.where(upd, rbase + k, ra_ref[j])
+        return h, acc
 
+    row_body = _make_row_body(
+        qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+        qi=0, qoff=0, soff=0, reset=None, Q=Q, R=R, cell=hint_cell)
     nrb = (qlen + RU - 1) // RU
-    jax.lax.fori_loop(0, nrb, row_body, jnp.zeros((SUB, nl), jnp.int32))
+    jax.lax.fori_loop(0, nrb, row_body,
+                      (jnp.zeros((SUB, nl), jnp.int32), jnp.int32(0)))
 
     for j in range(KSEG):
         improve = ((cm_ref[j] > s_ref[...])
@@ -904,14 +883,7 @@ def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,
         s_ref[...] = jnp.zeros_like(s_ref)
         bh0_ref[...] = jnp.zeros_like(bh0_ref)
 
-    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
-    dblk = db_ref[...].astype(jnp.int32)
-    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
-    dprof_ref[...] = jax.lax.dot_general(
-        m8_ref[...], oh_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).reshape(32, KSEG, SUB, nl)
+    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     # the tile-top boundary replaces the zero/NEG_INF row-state init of the
@@ -929,43 +901,12 @@ def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,
     bh0_ref[...] = bh_ref[0, 0, KSEG - 1]
 
     rows = jnp.clip(ql_ref[qi] - tile * tile_rows, 0, tile_rows)
-
-    def row_body(rb, carry):
-        # same RU-unrolled, pre-advanced-E/F recurrence as _stream_kernel;
-        # a partial final group only happens when the query ends in this
-        # tile (PAD rows decay and cannot raise S or matter downstream)
-        diag0, s = carry
-        base = rb * RU
-        qsyms = [qc_ref[qi, tile * tile_rows + base + k]
-                 for k in range(RU)]
-        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
-                    for k in range(RU)]
-        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                for k in range(RU)]
-        diag = [diag0] + hst_olds[: RU - 1]
-        hs = list(hst_olds)
-        for j in range(KSEG):
-            hprev = hrow_ref[j]
-            fhat = frow_ref[j]
-            hs = []
-            for k in range(RU):
-                p = dprof_ref[qsyms[k], j]
-                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(ehat[k], fhat))
-                if clamp is not None:
-                    h = jnp.minimum(h, clamp)
-                s = jnp.maximum(s, h)
-                hq = h - Q
-                ehat[k] = jnp.maximum(ehat[k] - R, hq)
-                fhat = jnp.maximum(fhat - R, hq)
-                hs.append(h)
-            hrow_ref[j] = hs[-1]
-            frow_ref[j] = fhat
-            diag = [hprev] + hs[: RU - 1]
-        for k in range(RU):
-            hst_ref[base + k] = hs[k]
-            est_ref[base + k] = ehat[k]
-        return hst_olds[RU - 1], s
+    # a partial final row group only happens when the query ends in this
+    # tile (PAD rows decay and cannot raise S or matter downstream)
+    row_body = _make_row_body(
+        qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+        qi=qi, qoff=tile * tile_rows, soff=0, reset=reset, Q=Q, R=R,
+        cell=_scoring_cell(clamp))
 
     _, s = jax.lax.fori_loop(
         0, (rows + RU - 1) // RU, row_body,
@@ -1098,14 +1039,7 @@ def _stream_tile_carry_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref,
         cp.start()
         cp.wait()
 
-    sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
-    dblk = db_ref[...].astype(jnp.int32)
-    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
-    dprof_ref[...] = jax.lax.dot_general(
-        m8_ref[...], oh_ref[...],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).reshape(32, KSEG, SUB, nl)
+    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     for j in range(KSEG):
@@ -1116,40 +1050,10 @@ def _stream_tile_carry_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref,
     bh0_ref[...] = bh_ref[0, 0, KSEG - 1]
 
     rows = jnp.clip(ql_ref[qi] - tile * tile_rows, 0, tile_rows)
-
-    def row_body(rb, carry):
-        diag0, s = carry
-        base = rb * RU
-        qsyms = [qc_ref[qi, tile * tile_rows + base + k]
-                 for k in range(RU)]
-        hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
-                    for k in range(RU)]
-        ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                for k in range(RU)]
-        diag = [diag0] + hst_olds[: RU - 1]
-        hs = list(hst_olds)
-        for j in range(KSEG):
-            hprev = hrow_ref[j]
-            fhat = frow_ref[j]
-            hs = []
-            for k in range(RU):
-                p = dprof_ref[qsyms[k], j]
-                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(ehat[k], fhat))
-                if clamp is not None:
-                    h = jnp.minimum(h, clamp)
-                s = jnp.maximum(s, h)
-                hq = h - Q
-                ehat[k] = jnp.maximum(ehat[k] - R, hq)
-                fhat = jnp.maximum(fhat - R, hq)
-                hs.append(h)
-            hrow_ref[j] = hs[-1]
-            frow_ref[j] = fhat
-            diag = [hprev] + hs[: RU - 1]
-        for k in range(RU):
-            hst_ref[base + k] = hs[k]
-            est_ref[base + k] = ehat[k]
-        return hst_olds[RU - 1], s
+    row_body = _make_row_body(
+        qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+        qi=qi, qoff=tile * tile_rows, soff=0, reset=reset, Q=Q, R=R,
+        cell=_scoring_cell(clamp))
 
     _, s = jax.lax.fori_loop(
         0, (rows + RU - 1) // RU, row_body,
