@@ -310,19 +310,19 @@ def align(a, b, matrix, q, r, hint=None):
 
     With a hint, the db sequence is first cut to the window that can
     contain the alignment (EXACT: a local alignment of positive score
-    spans at most V = M + ceil(M*maxS/r) db columns — pairs contribute
-    at most M*maxS and every unpaired db residue costs at least r — so
-    b_begin >= b_end+1-V; reverse-DP values inside the window do not
-    depend on the cut columns).  This bounds the reverse pass and the
-    traceback to O(M*V) regardless of subject length, which is what
-    keeps the align phase flat when a hit sits mid-chromosome.
+    spans at most V db columns — ops.align_hint._span_bound, the same
+    bound the segmented hint pass and the engine's giant segmentation
+    rely on — so b_begin >= b_end+1-V; reverse-DP values inside the
+    window do not depend on the cut columns).  This bounds the reverse
+    pass and the traceback to O(M*V) regardless of subject length,
+    which is what keeps the align phase flat when a hit sits
+    mid-chromosome.
     """
-    if hint is not None and r > 0:
+    if hint is not None:
+        from .ops.align_hint import _span_bound
         score, a_end, b_end = hint
-        max_s = int(np.asarray(matrix).max())
-        if max_s > 0:
-            M = len(a)
-            V = M + -(-M * max_s // r)
+        V = _span_bound(len(a), int(np.asarray(matrix).max()), r)
+        if V is not None:
             w0 = b_end + 1 - V
             if w0 > 0:
                 sub = np.asarray(b)[w0: b_end + 1]

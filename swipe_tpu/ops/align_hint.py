@@ -36,11 +36,14 @@ def hint_endpoint(qseq: np.ndarray, dseq: np.ndarray, matrix: np.ndarray,
     if len(dseq) > GIANT_HINT_MIN:
         return hint_endpoints_many(qseq, [np.asarray(dseq)], matrix,
                                    gapopen, gapextend)[0]
+    mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
+    return _hint_scalar(qseq, dseq, mat, gapopen + gapextend, gapextend)
+
+
+def _hint_scalar(qseq, dseq, mat, Q, R) -> tuple[int, int, int]:
+    """The O(qlen)-state column-streamed hint pass (one subject)."""
     q = np.asarray(qseq, dtype=np.int64)
     d = np.asarray(dseq, dtype=np.int64)
-    mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
-    Q = gapopen + gapextend
-    R = gapextend
     m = len(q)
     QP = mat[q, :].T  # (32, m)
 
@@ -123,20 +126,34 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
     R = gapextend
 
     V = _span_bound(m, int(mat.max()), R)
-    giants = [i for i, d in enumerate(dseqs)
-              if V is not None and len(d) > GIANT_HINT_MIN
-              and len(d) > 4 * V]
-    if not giants:
+    giants, solos = [], []
+    for i, d in enumerate(dseqs):
+        if len(d) <= GIANT_HINT_MIN:
+            continue
+        if V is not None and len(d) > 4 * V:
+            giants.append(i)
+        elif V is None:
+            # unsegmentable chromosome-scale subject (free gap extension
+            # or an all-negative matrix): batching it would pad every
+            # lane of the bin to its length — run it alone through the
+            # bounded column-streamed pass instead
+            solos.append(i)
+    if not giants and not solos:
         return _hint_batch(q, [np.asarray(d) for d in dseqs], mat, Q, R,
                            None)
 
     results: list[tuple[int, int, int] | None] = [None] * len(dseqs)
-    normals = [i for i in range(len(dseqs)) if i not in set(giants)]
+    skip = set(giants) | set(solos)
+    normals = [i for i in range(len(dseqs)) if i not in skip]
     if normals:
         for i, res in zip(normals, _hint_batch(
                 q, [np.asarray(dseqs[i]) for i in normals], mat, Q, R,
                 None)):
             results[i] = res
+    for i in solos:
+        results[i] = _hint_solo(q, np.asarray(dseqs[i]), mat, Q, R)
+    if not giants:
+        return results
 
     pieces, starts, owner, gpos = [], [], [], []
     for i in giants:
@@ -222,16 +239,22 @@ def _hint_batch(q, dseqs, mat, Q, R, starts):
 _HINT_UNROLL = 8
 
 
-def _hint_lax_impl(QP, dense_t, lens, starts, Q, R):
+def _hint_lax_impl(QP, dense_t, lens, starts, rowvalid, state, col0, Q, R):
     """lax twin of the batched hint pass: scan over db columns,
     _HINT_UNROLL columns per scan step (a bare per-column scan is
     step-overhead-bound on tiny [n, m] state).
 
-    QP: [32, m] int32; dense_t: [maxlen, n] int32; lens: [n] int32;
-    starts: [n] int32 per-lane first-tracked column (the segmented
-    giant route's owned-column mask; zeros for whole sequences).
+    QP: [32, m] int32 (m bucketed — pad rows carry a zero profile and
+    rowvalid masks them out of the column max; zeroing their H is exact
+    because the DP only flows DOWN rows, so pad rows feed nothing back);
+    dense_t: [W, n] int8; lens: [n] int32 GLOBAL lengths; starts: [n]
+    int32 per-lane first-tracked column (the segmented giant route's
+    owned-column mask; zeros for whole sequences); state: the
+    (H, E, S, bq, bp) carry (fresh from _hint_lax_init, or the previous
+    window's output when a chromosome-scale subject streams through
+    fixed windows); col0: this window's global column offset.
     Tie semantics identical to the NumPy pass (argmax = smallest row /
-    first improving column).
+    first improving column).  Returns the full state.
     """
     import jax
     import jax.numpy as jnp
@@ -253,6 +276,7 @@ def _hint_lax_impl(QP, dense_t, lens, starts, Q, R):
             [jnp.full((n, 1), NEG32, jnp.int32), A[:, :-1]],
             axis=1) - Q - idxR + R
         H = jnp.maximum(hnof, F)
+        H = jnp.where(rowvalid, H, 0)     # bucketed query rows, see above
         colmax = H.max(axis=1)
         active = j < lens
         improve = active & (colmax > S) & (j >= starts)
@@ -270,17 +294,21 @@ def _hint_lax_impl(QP, dense_t, lens, starts, Q, R):
             state = column(state, syms[t], j0 + t)
         return state, None
 
-    init = (jnp.zeros((n, m), jnp.int32),
+    maxlen = dense_t.shape[0]
+    state, _ = jax.lax.scan(
+        step, state,
+        (dense_t.reshape(maxlen // T, T, n),
+         col0 + jnp.arange(0, maxlen, T, dtype=jnp.int32)))
+    return state
+
+
+def _hint_lax_init(n, m):
+    import jax.numpy as jnp
+    return (jnp.zeros((n, m), jnp.int32),
             jnp.full((n, m), NEG32, jnp.int32),
             jnp.zeros((n,), jnp.int32),
             jnp.full((n,), -1, jnp.int32),
             jnp.zeros((n,), jnp.int32))
-    maxlen = dense_t.shape[0]
-    (_, _, S, bq, bp), _ = jax.lax.scan(
-        step, init,
-        (dense_t.reshape(maxlen // T, T, n),
-         jnp.arange(0, maxlen, T, dtype=jnp.int32)))
-    return S, bq, bp
 
 
 _hint_lax_jit = None
@@ -307,8 +335,14 @@ def _hint_endpoints_device(q, dseqs, lens, mat, Q, R, starts=None):
         try:
             return _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R,
                                           starts)
-        except Exception:
-            pass
+        except Exception as exc:
+            # deliberate fallback (the lax twin is exact), but never a
+            # silent one: a kernel regression would otherwise just look
+            # like a mysteriously slow align phase
+            import warnings
+            warnings.warn("Pallas hint kernel failed; align-phase hints "
+                          f"fall back to the lax scan: {exc!r}",
+                          RuntimeWarning, stacklevel=2)
     return _hint_endpoints_lax(q, dseqs, lens, mat, Q, R, starts)
 
 
@@ -342,6 +376,24 @@ def _hint_endpoints_pallas(q, dseqs, lens, mat, Q, R, starts=None,
     return [(int(S[i]), int(bq[i]), int(bp[i])) for i in range(n)]
 
 
+def _hint_lax_args(q, mat, n, starts):
+    """Bucketed QP/rowvalid/starts for the lax hint (query rows to 64,
+    lanes to 8 — repeated align phases reuse one compiled program)."""
+    import jax.numpy as jnp
+    m = len(q)
+    m_pad = max(64, -(-m // 64) * 64)
+    QP = np.zeros((32, m_pad), dtype=np.int32)
+    QP[:, :m] = mat[q, :].T
+    rowvalid = np.zeros(m_pad, dtype=bool)
+    rowvalid[:m] = True
+    n_pad = -(-n // 8) * 8
+    st_pad = np.zeros(n_pad, dtype=np.int32)
+    if starts is not None:
+        st_pad[:n] = starts
+    return (jnp.asarray(QP), jnp.asarray(rowvalid), jnp.asarray(st_pad),
+            m_pad, n_pad)
+
+
 def _hint_endpoints_lax(q, dseqs, lens, mat, Q, R, starts=None):
     import jax.numpy as jnp
 
@@ -351,20 +403,60 @@ def _hint_endpoints_lax(q, dseqs, lens, mat, Q, R, starts=None):
         _hint_lax_jit = jax.jit(_hint_lax_impl,
                                 static_argnames=("Q", "R"))
     n = len(dseqs)
-    n_pad = -(-n // 8) * 8
+    QP, rowvalid, st_pad, m_pad, n_pad = _hint_lax_args(q, mat, n, starts)
     maxlen = int(lens.max())
     len_pad = -(-maxlen // 2048) * 2048
-    dense_t = np.zeros((len_pad, n_pad), dtype=np.int32)
+    dense_t = np.zeros((len_pad, n_pad), dtype=np.int8)
     for i, d in enumerate(dseqs):
-        dense_t[: len(d), i] = np.asarray(d, dtype=np.int32)
-    QP = mat[q, :].T.astype(np.int32)
+        dense_t[: len(d), i] = np.asarray(d, dtype=np.int8)
     lens_pad = np.zeros(n_pad, dtype=np.int32)
     lens_pad[:n] = lens
-    st_pad = np.zeros(n_pad, dtype=np.int32)
-    if starts is not None:
-        st_pad[:n] = starts
-    S, bq, bp = _hint_lax_jit(jnp.asarray(QP), jnp.asarray(dense_t),
-                              jnp.asarray(lens_pad), jnp.asarray(st_pad),
-                              Q=int(Q), R=int(R))
+    _, _, S, bq, bp = _hint_lax_jit(
+        QP, jnp.asarray(dense_t), jnp.asarray(lens_pad), st_pad, rowvalid,
+        _hint_lax_init(n_pad, m_pad), jnp.int32(0), Q=int(Q), R=int(R))
     S, bq, bp = np.asarray(S), np.asarray(bq), np.asarray(bp)
     return [(int(S[i]), int(bq[i]), int(bp[i])) for i in range(n)]
+
+
+# columns per window of the solo (unsegmentable-giant) stream:
+# 1 M columns x 8 lanes x 1 B upload + [8, m] carried state per window
+_SOLO_WINDOW = 1 << 20
+
+
+def _hint_solo(q, d, mat, Q, R):
+    """Bounded-memory hint pass for ONE unsegmentable chromosome-scale
+    subject (free gap extension or an all-negative matrix, where the
+    positive-span bound does not exist): stream its columns through
+    fixed windows with the (H, E, S, bq, bp) state carried between them
+    — the reference's O(qlen)-state single-channel streaming
+    (search16s.cc), never an n x maxlen dense allocation."""
+    try:
+        import jax
+        on_device = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_device = False
+    if not on_device:
+        return _hint_scalar(q, d, mat, Q, R)
+
+    import jax.numpy as jnp
+
+    global _hint_lax_jit
+    if _hint_lax_jit is None:
+        _hint_lax_jit = jax.jit(_hint_lax_impl,
+                                static_argnames=("Q", "R"))
+    QP, rowvalid, st_pad, m_pad, n_pad = _hint_lax_args(q, mat, 1, None)
+    N = len(d)
+    lens_pad = np.zeros(n_pad, dtype=np.int32)
+    lens_pad[0] = N
+    lens_dev = jnp.asarray(lens_pad)
+    state = _hint_lax_init(n_pad, m_pad)
+    for col0 in range(0, N, _SOLO_WINDOW):
+        dense_t = np.zeros((_SOLO_WINDOW, n_pad), dtype=np.int8)
+        win = np.asarray(d[col0: col0 + _SOLO_WINDOW], dtype=np.int8)
+        dense_t[: len(win), 0] = win
+        state = _hint_lax_jit(QP, jnp.asarray(dense_t), lens_dev, st_pad,
+                              rowvalid, state, jnp.int32(col0),
+                              Q=int(Q), R=int(R))
+    _, _, S, bq, bp = state
+    return (int(np.asarray(S)[0]), int(np.asarray(bq)[0]),
+            int(np.asarray(bp)[0]))

@@ -716,21 +716,20 @@ class SearchEngine:
 
     def _overlap_bound(self, qlen_pad: int) -> int:
         """Upper bound on the db-span of any positive-score local
-        alignment: pairs contribute <= qlen * maxS, and every unpaired
-        db residue costs at least gapextend (gapopen >= 0), so a span
-        beyond qlen + qlen*maxS/gapextend cannot stay positive.  Pieces
-        of a giant sequence cut with this much overlap therefore contain
-        every scoring alignment whole, and max-over-pieces is EXACT."""
+        alignment (ops.align_hint._span_bound — shared with the
+        segmented hint pass and the hinted align window).  Pieces of a
+        giant sequence cut with this much overlap contain every scoring
+        alignment whole, so max-over-pieces is EXACT.  All-negative
+        matrices admit no positive alignment at all (any overlap is
+        exact); free gap extension makes the span unbounded — return a
+        bound the `V <= max_cols // 2` gate always rejects, routing
+        giants to the carry/wavefront paths instead."""
+        from .ops.align_hint import _span_bound
         maxS = int(self.matrix.matrix.max())
         if maxS <= 0:
             return qlen_pad
-        if self.params.gapextend <= 0:
-            # free gap extension: the span of a positive-score alignment
-            # is unbounded, so segmentation is never exact — return a
-            # bound the `V <= max_cols // 2` gate always rejects, which
-            # routes giants to the carry/wavefront paths instead
-            return 1 << 62
-        return qlen_pad + -(-qlen_pad * maxS // self.params.gapextend)
+        V = _span_bound(qlen_pad, maxS, self.params.gapextend)
+        return (1 << 62) if V is None else V
 
     def _iter_segmented_giants(self, slots, qlen_pad, V, interpret):
         """Score giant units via overlapped segmentation on the stream

@@ -246,6 +246,59 @@ def test_hint_pallas_kernel_matches_numpy(m62):
         assert got == want
 
 
+def test_hint_lax_window_carry_matches_single_pass(m62):
+    # the solo (unsegmentable-giant) route streams columns through fixed
+    # windows with carried state: windowed == single-pass == the NumPy
+    # scalar oracle, with a bucketed (padded) query-row dimension
+    import jax
+    import jax.numpy as jnp
+
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(60)
+    q = rng.integers(1, 21, size=33, dtype=np.int8)
+    d = rng.integers(1, 21, size=6000, dtype=np.int8)
+    d[4100:4133] = q
+    mat = np.asarray(m62.matrix, dtype=np.int64).reshape(32, 32)
+    jit = jax.jit(AH._hint_lax_impl, static_argnames=("Q", "R"))
+    QP, rowvalid, st, m_pad, n_pad = AH._hint_lax_args(q, mat, 1, None)
+    assert m_pad == 64          # bucketed rows: one compile per bucket
+    lens = np.zeros(n_pad, np.int32)
+    lens[0] = len(d)
+
+    def run(windows):
+        state = AH._hint_lax_init(n_pad, m_pad)
+        for c0, c1 in windows:
+            dt = np.zeros((c1 - c0, n_pad), np.int8)
+            seg = d[c0: min(c1, len(d))]
+            dt[: len(seg), 0] = seg
+            state = jit(QP, jnp.asarray(dt), jnp.asarray(lens), st,
+                        rowvalid, state, jnp.int32(c0), Q=12, R=1)
+        _, _, S, bq, bp = state
+        return (int(np.asarray(S)[0]), int(np.asarray(bq)[0]),
+                int(np.asarray(bp)[0]))
+
+    want = AH._hint_scalar(q, d, mat, 12, 1)
+    assert run([(0, 6144)]) == want
+    assert run([(0, 2048), (2048, 6144)]) == want
+
+
+def test_hint_unsegmentable_giant_routes_solo(m62, monkeypatch):
+    # free gap extension kills the positive-span bound, so a
+    # chromosome-scale subject must stream alone in bounded memory
+    # instead of padding every batched lane to its length
+    from swipe_tpu.ops import align_hint as AH
+    monkeypatch.setattr(AH, "GIANT_HINT_MIN", 2048)
+    rng = np.random.default_rng(61)
+    q = rng.integers(1, 21, size=30, dtype=np.int8)
+    mat = np.asarray(m62.matrix, dtype=np.int64).reshape(32, 32)
+    dseqs = [rng.integers(1, 21, size=300, dtype=np.int8),
+             rng.integers(1, 21, size=6000, dtype=np.int8)]
+    dseqs[1][5000:5030] = q
+    got = AH.hint_endpoints_many(q, dseqs, m62.matrix, 11, 0)
+    want = [AH._hint_scalar(q, d, mat, 11, 0) for d in dseqs]
+    assert got == want
+
+
 def test_hint_pallas_overhang_rows_high_gap(m62):
     # gapopenextend > 128 exceeds the PAD row score (-128), so a query
     # row past qlen (the RU round-up overhang) could beat the real rows'
