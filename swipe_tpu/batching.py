@@ -217,8 +217,14 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
         loads = np.zeros(nseqs, dtype=np.int64)
         for used, ln in heap:
             loads[ln] = used
-        # bucket the block count (bounded compile-cache shapes)
+        # bucket the block count (bounded compile-cache shapes), capped
+        # at max_blocks so the bucket cannot push a full chunk past the
+        # documented max_cols when max_blocks % 8 != 0; oversized-member
+        # chunks (loads.max() > max_blocks, see docstring) keep their
+        # true height
         nblocks = round_up(int(loads.max()), 8)
+        if int(loads.max()) <= max_blocks:
+            nblocks = min(nblocks, max_blocks)
         # lane-major build: each sequence lands with ONE contiguous copy
         # ([L, nseqs] column writes are 2KB-strided and ~10x slower)
         data_t = np.full((nseqs, nblocks * block), PAD_SYMBOL,

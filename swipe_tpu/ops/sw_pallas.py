@@ -224,7 +224,12 @@ def sw_scores_segmented(qpt: jax.Array, db: jax.Array, seg_ids: jax.Array,
         ),
         interpret=interpret,
     )(seg_ids, qpt, db)
-    return out[:, :, 0, :]
+    scores = out[:, :, 0, :]
+    # the grid only writes the segments seg_ids names; trailing padded
+    # segments (pack_database rounds nsegs up) would otherwise read back
+    # uninitialized HBM — zero them so the contract matches the lax twin
+    used = jnp.zeros((nsegs,), bool).at[seg_ids[:nblocks]].set(True)
+    return jnp.where(used[None, :, None], scores, 0)
 
 
 @functools.partial(
@@ -242,6 +247,8 @@ def sw_scores_lax(qpt: jax.Array, db: jax.Array, seg_ids: jax.Array, *,
     """
     nq, qlen, _ = qpt.shape
     L, nseqs = db.shape
+    if L % SEG_BLK:
+        raise ValueError(f"db length {L} not a multiple of {SEG_BLK}")
     Q, R = gapopenextend, gapextend
     nblocks = L // SEG_BLK
     iota_q = jnp.arange(qlen, dtype=jnp.int32)[:, None]

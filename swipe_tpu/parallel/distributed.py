@@ -80,8 +80,11 @@ def _sharded_topk_fn(mesh: Mesh, nsegs: int, gapopenextend: int,
         # exact global merge: gather every device's local top-k
         top_all = jax.lax.all_gather(top, "db", axis=1, tiled=True)
         units_all = jax.lax.all_gather(units, "db", axis=1, tiled=True)
+        # qpt.shape[0] is the LOCAL query count, so the global
+        # query x unit product needs the psum over BOTH mesh axes
+        # (tag_stats merge semantics, swipe.cc:1978-1992)
         cells = jnp.sum(jnp.where(unit_ids >= 0, 1, 0)) * qpt.shape[0]
-        cells = jax.lax.psum(cells, "db")
+        cells = jax.lax.psum(cells, ("db", "q"))
         return top_all, units_all, cells
 
     # check_vma=False: all_gather over "db" makes the outputs equal on
@@ -142,7 +145,9 @@ def shard_stream_chunk(chunk, n_db: int):
     nl = nseqs // n_db
     dev = chunk.lane // nl
     groups = [np.nonzero(dev == d)[0] for d in range(n_db)]
-    m = max((len(g) for g in groups), default=1)
+    # width >= 1 so an empty chunk still yields well-formed [n_db, 1]
+    # sentinel arrays (unit -1) instead of zero-width top_k inputs
+    m = max(max(len(g) for g in groups), 1)
     eb = np.zeros((n_db, m), dtype=np.int32)
     ln = np.zeros((n_db, m), dtype=np.int32)
     un = np.full((n_db, m), -1, dtype=np.int32)
@@ -176,10 +181,7 @@ def _sharded_stream_fn(mesh: Mesh, gapopenextend: int, gapextend: int,
         out = score(qc, ql, m8, db, st)          # [NQ, nblocks, NL_local]
         un = un[0]
         sc = out[:, eb[0], ln[0]]                # [NQ, M]
-        sc = jnp.where(un[None, :] >= 0, sc, -1)
-        kk = min(k, sc.shape[1])
-        top, idx = jax.lax.top_k(sc, kk)
-        units_top = un[idx] + top * 0
+        top, units_top = _topk_records(sc[:, None, :], un[None, :], k)
         top_all = jax.lax.all_gather(top, "db", axis=1, tiled=True)
         units_all = jax.lax.all_gather(units_top, "db", axis=1, tiled=True)
         cells = jax.lax.psum(jnp.sum(jnp.where(un >= 0, 1, 0))

@@ -11,7 +11,32 @@ from swipe_tpu.ops.sw_ref import sw_numpy_many
 from swipe_tpu.ops.sw_stream import build_matrix8, build_qcodes
 from swipe_tpu.parallel.distributed import (make_mesh, merge_topk,
                                             shard_stream_chunk,
-                                            sharded_stream_topk)
+                                            sharded_stream_topk,
+                                            sharded_topk_scores)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_topk_cells_global():
+    # the cell counter must psum over BOTH mesh axes (each q-shard sees
+    # only its local query count) — it used to undercount by n_q
+    from swipe_tpu.batching import pack_database
+    from swipe_tpu.ops.sw_pallas import build_qpt
+    rng = np.random.default_rng(3)
+    m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    queries = [rng.integers(1, 26, size=40, dtype=np.int8)
+               for _ in range(4)]
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in rng.integers(20, 100, size=512)]
+    ch = pack_database(seqs, nseqs=128 * 4, max_cols=512)[0]
+    mesh = make_mesh(n_db=4, n_q=2)
+    qpt = jnp.asarray(build_qpt(queries, m.matrix, 64))
+    unit_ids = np.asarray(ch.seqnos, dtype=np.int32)
+    _, _, cells = sharded_topk_scores(
+        mesh, qpt, jnp.asarray(ch.data), jnp.asarray(ch.seg_ids),
+        jnp.asarray(unit_ids), nsegs=ch.seqnos.shape[0],
+        gapopenextend=12, gapextend=1, k=16, backend="lax")
+    want = int((unit_ids >= 0).sum()) * len(queries)
+    assert int(np.asarray(cells)) == want
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

@@ -63,6 +63,25 @@ def test_pallas_interpret_matches_oracle(m62):
     _check_chunk(got, ch, queries, seqs, m62.matrix, 11, 1)
 
 
+def test_pallas_padded_segments_are_zero(m62):
+    # nsegs beyond the blocks seg_ids names (pack_database pads the
+    # segment count): those out rows are never visited by the grid and
+    # must read back as zeros like the lax twin, not uninitialized HBM
+    rng = np.random.default_rng(9)
+    queries = _rand_seqs(rng, 2, 10, 40)
+    seqs = _rand_seqs(rng, 10, 5, 100)
+    ch = pack_database(seqs, nseqs=8)[0]
+    nsegs_pad = ch.nsegs + 3
+    for fn, kw in ((sw_scores_segmented, {"interpret": True}),
+                   (sw_scores_lax, {})):
+        got = np.asarray(fn(
+            build_qpt(queries, m62.matrix, qlen_pad=64), ch.data,
+            ch.seg_ids, nsegs=nsegs_pad, gapopenextend=12, gapextend=1,
+            **kw))
+        assert got.shape[1] == nsegs_pad
+        assert (got[:, ch.nsegs:, :] == 0).all()
+
+
 def test_pallas_state_carry_across_blocks(m62):
     # sequences longer than SEG_BLK: H/E state must carry across grid steps
     rng = np.random.default_rng(2)
