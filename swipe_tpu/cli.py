@@ -11,6 +11,7 @@ selects pallas (TPU), lax (any backend) or pallas_interpret scoring.
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import numpy as np
@@ -64,9 +65,16 @@ def _atol(val) -> int:
     without one is 0 (the reference then rejects the 0 in its range
     validation, e.g. 'Illegal symbol type.').  A trailing suffix is
     ignored, so '-p 1x' runs blastp exactly like the reference."""
-    import re
     m = re.match(r"\s*[+-]?\d+", str(val)) if val is not None else None
     return int(m.group()) if m else 0
+
+
+def _atof(val) -> float:
+    """C atof semantics: leading float prefix (incl. exponent), 0.0 when
+    none — '-e 0.1x' runs like the reference, never an argument error."""
+    m = re.match(r"\s*[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?",
+                 str(val)) if val is not None else None
+    return float(m.group()) if m else 0.0
 
 
 def fatal(msg: str):
@@ -113,18 +121,22 @@ class Args:
 
 def parse_args(argv: list[str]) -> Args:
     a = Args()
-    spec = {  # short opt -> (attr, converter)
-        "a": ("threads", int), "b": ("alignments", int),
-        "c": ("minscore", int), "d": ("databasename", str),
-        "D": ("db_gencode", int), "e": ("expect", float),
-        "E": ("gapextend", int), "G": ("gapopen", int),
-        "i": ("queryname", str), "k": ("minexpect", float),
-        "K": ("subalignments", int), "m": ("view", int),
-        "M": ("matrixname", str), "N": ("dump", int),
-        "o": ("outfile", str), "q": ("mismatchscore", int),
-        "Q": ("query_gencode", int), "r": ("matchscore", int),
-        "u": ("maxscore", int), "v": ("maxmatches", int),
-        "x": ("taxidfilename", str), "z": ("effdbsize", int),
+    # short opt -> (attr, converter); numeric converters follow C
+    # atol/atof prefix semantics (swipe.cc:930-1010 converts every
+    # numeric flag with atol/atof, so '-G 11x' parses as 11, never an
+    # argument error)
+    spec = {
+        "a": ("threads", _atol), "b": ("alignments", _atol),
+        "c": ("minscore", _atol), "d": ("databasename", str),
+        "D": ("db_gencode", _atol), "e": ("expect", _atof),
+        "E": ("gapextend", _atol), "G": ("gapopen", _atol),
+        "i": ("queryname", str), "k": ("minexpect", _atof),
+        "K": ("subalignments", _atol), "m": ("view", _atol),
+        "M": ("matrixname", str), "N": ("dump", _atol),
+        "o": ("outfile", str), "q": ("mismatchscore", _atol),
+        "Q": ("query_gencode", _atol), "r": ("matchscore", _atol),
+        "u": ("maxscore", _atol), "v": ("maxmatches", _atol),
+        "x": ("taxidfilename", str), "z": ("effdbsize", _atol),
     }
     long_to_short = {
         "db": "d", "query": "i", "matrix": "M", "penalty": "q",
@@ -143,6 +155,14 @@ def parse_args(argv: list[str]) -> Args:
     def usage_exit():
         sys.stdout.write(USAGE % ("swipe", MAX_THREADS))
         sys.exit(1)
+
+    def help_exit():
+        # -h always routes through args_help (version header + reference
+        # line + usage, swipe.cc:818-825), even from a combined token
+        from .report import REFLINE
+        sys.stdout.write(
+            "%s [%s]\n\n%s\n\n" % (PROGRAM, "swipe-tpu", REFLINE))
+        usage_exit()
 
     def next_val(opt):
         nonlocal i
@@ -192,18 +212,20 @@ def parse_args(argv: list[str]) -> Args:
                 elif opt == "H":
                     a.show_taxid = 1
                 else:
-                    usage_exit()
+                    help_exit()
                 opt, val = val[0], val[1:] or None
             if opt not in ("I", "H", "h") and val is None:
                 val = next_val(arg)
         else:
-            usage_exit()
+            # GNU getopt_long permutes non-option arguments to the end
+            # and the reference never looks at them (optind unchecked
+            # after the loop, swipe.cc:930): stray positionals are
+            # silently ignored, e.g. `swipe -d db query.fa`
+            i += 1
+            continue
 
         if opt == "h":
-            from .report import REFLINE
-            sys.stdout.write(
-                "%s [%s]\n\n%s\n\n" % (PROGRAM, "swipe-tpu", REFLINE))
-            usage_exit()
+            help_exit()
         elif opt == "I":
             a.show_gis = 1
         elif opt == "H":
@@ -223,10 +245,7 @@ def parse_args(argv: list[str]) -> Args:
                 fatal("Query sequence filtering not supported.")
         elif opt in spec:
             attr, conv = spec[opt]
-            try:
-                setattr(a, attr, conv(val))
-            except ValueError:
-                fatal(f"Illegal argument for option -{opt}")
+            setattr(a, attr, conv(val))
         else:
             usage_exit()
         i += 1
@@ -273,7 +292,7 @@ def parse_args(argv: list[str]) -> Args:
         fatal("Illegal symbol type.")
     if a.querystrands < 1 or a.querystrands > 3:
         fatal("Illegal query strands specified.")
-    if a.querystrands == 2 and a.symtype in (1, 3, 5):
+    if a.querystrands == 2 and a.symtype in (1, 3, 4):
         fatal("Illegal strand specified for protein query.")
     if a.query_gencode not in GENCODE_NAMES:
         fatal("Illegal query genetic code specified.")
@@ -286,8 +305,6 @@ def parse_args(argv: list[str]) -> Args:
 
 def open_database(a: Args):
     """Open a BLAST database, falling back to FASTA auto-detection."""
-    import os
-
     from .io import blastdb
     protein_family = a.symtype in (1, 2, 5)
     dbtype = "aa" if protein_family else "nt"
@@ -365,7 +382,6 @@ def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: first-run kernel compiles on the
     TPU take minutes; cached reruns start in seconds.  Opt out with
     SWIPE_TPU_NO_COMPILE_CACHE=1 or override via JAX_COMPILATION_CACHE_DIR."""
-    import os
     if os.environ.get("SWIPE_TPU_NO_COMPILE_CACHE"):
         return
     cachedir = os.environ.get(
@@ -440,8 +456,7 @@ def main(argv=None) -> int:
 
     # observability extension: SWIPE_TPU_TRACE=<dir> wraps the whole run in
     # a JAX profiler trace (view with xprof/tensorboard)
-    import os as _os
-    trace_dir = _os.environ.get("SWIPE_TPU_TRACE")
+    trace_dir = os.environ.get("SWIPE_TPU_TRACE")
     if trace_dir:
         import jax
         jax.profiler.start_trace(trace_dir)

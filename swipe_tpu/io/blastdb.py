@@ -95,7 +95,10 @@ def _read_alias(path: str):
     with open(path) as f:
         for line in f:
             if line.startswith("TITLE "):
-                info["TITLE"] = line[6:].strip()
+                # db_read_alias (database.cc:438-443) skips only LEADING
+                # spaces/tabs and keeps everything up to CR/LF — trailing
+                # whitespace is part of the title, byte for byte
+                info["TITLE"] = line[6:].lstrip(" \t").rstrip("\r\n")
             elif line.startswith("DBLIST"):
                 info["DBLIST"] = line[6:].split()
             elif line.startswith("OIDLIST"):
@@ -175,6 +178,9 @@ class BlastDatabase(Database):
             self.title = v.title
 
         self.time_str = self.volumes[0].time
+        # db_open copies the first volume's format version to the main db
+        # and -m 99 prints it (hits.cc:1340)
+        self.version = self.volumes[0].version
         self._seqcount = sum(v.seqcount for v in self.volumes)
         self._symcount = sum(v.symcount for v in self.volumes)
         self._longest = max(v.longest for v in self.volumes)
@@ -199,17 +205,27 @@ class BlastDatabase(Database):
 
     @staticmethod
     def _read_taxid_file(filename: str) -> np.ndarray:
-        taxids = []
+        # fscanf("%lu\n") semantics (db_read_taxid_file,
+        # database.cc:735-772): skip whitespace, read an optionally
+        # signed integer, STOP SILENTLY at the first token that doesn't
+        # start with one (a comment/header line ends the list, it does
+        # not error); negatives wrap like strtoul
+        import re as _re
         with open(filename) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    taxids.append(int(line))
+            text = f.read()
+        taxids = []
+        pos = 0
+        while True:
+            m = _re.match(r"\s*([+-]?\d+)", text[pos:])
+            if not m:
+                break
+            taxids.append(int(m.group(1)) & ((1 << 64) - 1))
+            pos += m.end()
         size = max((t // 8 for t in taxids), default=0) + 1
         size = max(size, 64 * 1024)
         bm = np.zeros(size, dtype=np.uint8)
         for t in taxids:
-            bm[t // 8] |= 1 << (t & 7)
+            bm[t // 8] |= np.uint8(1 << (t & 7))
         return bm
 
     def _check_taxid(self, taxid: int) -> bool:

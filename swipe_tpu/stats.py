@@ -222,10 +222,23 @@ class EvalueModel:
     def bits_rounded(self, score: int) -> int:
         return int(math.floor(self.bits(score) + 0.5))
 
+    # (long)(ceil/floor of -inf) on x86-64: cvttsd2si yields LONG_MIN for
+    # inf/nan/out-of-range.  Kmn == 0 (an empty query record: a bare
+    # '>header' line is valid FASTA) reaches exactly that in the
+    # reference (hits.cc:491,497 with expect/0 = inf); Python would
+    # instead raise ZeroDivisionError, killing the whole run
+    _LONG_MIN = -(1 << 63)
+
     def min_score_for_expect(self, expect: float) -> int:
-        """Smallest score with E-value <= expect (reference's ceil rule)."""
+        """Smallest score with E-value <= expect (reference's ceil rule,
+        incl. the Kmn=0 -> LONG_MIN cast quirk)."""
+        if self.Kmn <= 0:
+            return self._LONG_MIN
         return int(math.ceil(-math.log(expect / self.Kmn) / self.lambda_))
 
     def max_score_for_expect(self, minexpect: float) -> int:
-        """Largest score with E-value >= minexpect (reference's floor rule)."""
+        """Largest score with E-value >= minexpect (reference's floor
+        rule, incl. the Kmn=0 -> LONG_MIN cast quirk)."""
+        if self.Kmn <= 0:
+            return self._LONG_MIN
         return int(math.floor(-math.log(minexpect / self.Kmn) / self.lambda_))

@@ -331,6 +331,58 @@ def test_golden_stream_backend(ref_swipe, dbs, name, args, db, qf):
         + "\n".join(_first_diff(ref_out, our_out)))
 
 
+def test_golden_cli_quirks(ref_swipe, dbs):
+    """C-flavored CLI corners: atol/atof suffixed numeric arguments,
+    getopt's silently-ignored positional arguments, and an empty query
+    record (Kmn = 0 — the reference's (long)ceil(-inf) threshold quirk,
+    hits.cc:491-499)."""
+    import io as _io
+    import sys
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from swipe_tpu.cli import main as cli_main
+
+    def ours(args, inp=None):
+        buf, err = _io.StringIO(), _io.StringIO()
+        old = sys.stdin
+        if inp is not None:
+            sys.stdin = _io.TextIOWrapper(_io.BytesIO(inp),
+                                          encoding="latin-1")
+        try:
+            with redirect_stdout(buf), redirect_stderr(err):
+                try:
+                    rc = cli_main(args + ["--backend", "lax"])
+                except SystemExit as e:
+                    rc = e.code or 0
+        finally:
+            sys.stdin = old
+        return rc, buf.getvalue(), err.getvalue()
+
+    base = ["-d", str(dbs / "prot")]
+    cases = [
+        (base + ["-p", "blastp", "-i", str(dbs / "qp.fa"), "-m", "9",
+                 "-G", "11x", "-E", "1x", "-e", "10.0x"], None),
+        (base + ["-p", "blastp", "-i", str(dbs / "qp.fa"), "-m", "9",
+                 "stray_positional.fa"], None),
+        (base + ["-p", "blastp", "-m", "9"],
+         b">empty record\n\n>q2 real\nARNDCQEGHILKMFPSTWYV\n"),
+        (base + ["-p", "blastp", "-m", "0", "-k", "0.001"],
+         b">empty record\n\n"),
+        (base + ["-p", "tblastx", "-S", "2", "-i", str(dbs / "qp.fa")],
+         None),
+    ]
+    for args, inp in cases:
+        r = subprocess.run([ref_swipe] + args, capture_output=True,
+                           timeout=300, input=inp)
+        rc, out, err = ours(args, inp)
+        assert rc == r.returncode, (args, r.stderr, err)
+        assert _normalize(out) == _normalize(r.stdout.decode()), (
+            f"quirk mismatch for {args}\n" + "\n".join(
+                _first_diff(_normalize(r.stdout.decode()),
+                            _normalize(out))))
+        assert err.strip() == r.stderr.decode().strip(), args
+
+
 def test_golden_stdin_query(ref_swipe, dbs):
     """Queries on standard input: explicit `-i -` and the no-flag default
     both read stdin (query.cc uses '-' as the default query filename)."""
