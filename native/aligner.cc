@@ -40,10 +40,6 @@ namespace {
 
 constexpr long kSentinel = -1;  // align.py _SENTINEL (reference uses -1)
 
-inline long matval(const long* mat, int8_t qa, int8_t db) {
-  return mat[((long)qa << 5) | (long)db];
-}
-
 // Run-length op-string builder: M=match/mismatch, D=query-vs-gap,
 // I=gap-vs-db (align.py _Ops).
 struct OpString {

@@ -445,8 +445,17 @@ def main(argv=None) -> int:
         query_gencode=a.query_gencode, db_gencode=a.db_gencode,
         threads=a.threads)
 
-    if a.queryname != "-" and not os.path.exists(a.queryname):
-        fatal("Cannot open query file.")
+    if a.queryname != "-":
+        # query_init fatals BEFORE any output when fopen fails (missing
+        # or unreadable, query.cc:193-194).  fopen on a DIRECTORY
+        # succeeds on Linux (reads then fail -> zero queries), so that
+        # case runs like an empty query file
+        try:
+            open(a.queryname, encoding="latin-1").close()
+        except IsADirectoryError:
+            pass
+        except OSError:
+            fatal("Cannot open query file.")
 
     if a.mh_procs > 1:
         from .parallel.multihost import MultiHostEngine

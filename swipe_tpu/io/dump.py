@@ -8,13 +8,13 @@ defline, otherwise deflines are joined with " >".
 
 from __future__ import annotations
 
-from ..alphabet import SYM_NCBI_AA, SYM_NCBI_NT16U, SYM_SOUND
+from ..alphabet import SYM_NCBI_AA, SYM_NCBI_NT16U, SYM_SOUND, decode
 
 __all__ = ["dump_fasta"]
 
 
 def _seq_lines(codes, sym: str) -> str:
-    chars = "".join(sym[c] for c in codes)
+    chars = decode(codes, sym)
     return "".join(chars[i:i + 80] + "\n" for i in range(0, len(chars), 80))
 
 
@@ -28,9 +28,11 @@ def dump_fasta(out, db, symtype: int, split_headers: bool = False) -> None:
     from .asn1 import render_defline
     show_taxid = bool(getattr(db, "show_taxid", False))
     for seqno in range(db.seqcount()):
-        if not db.check_inclusion(seqno):
-            continue
-        # the reference parses dump headers with show_gis forced on
+        # the reference dump loop (swipe.cc:2539-2545) visits EVERY
+        # seqno and filters only per defline inside db_parse_header
+        # (membership bits + taxid) — it never consults the .msk oid
+        # bitmap the search phase uses, so neither do we; headers with
+        # no passing defline print nothing.  show_gis is forced on
         # (db_show_fasta, database.cc:1504)
         deflines = [render_defline(d, True, show_taxid)
                     for d in db.get_defline_objects(seqno)]

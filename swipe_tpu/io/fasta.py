@@ -24,25 +24,53 @@ from ..alphabet import map_for_symtype, revcompl, translate, encode
 __all__ = ["Query", "read_fasta", "read_queries", "QueryReader"]
 
 
+LINE_MAX = 2048  # the reference reader's fgets buffer (swipe.h:55)
+
+
+def _fgets_chunks(text: str) -> Iterator[str]:
+    """The exact 'lines' the reference sees: fgets(LINE_MAX) chunks of at
+    most LINE_MAX-1 chars, ending early at a newline, each truncated at
+    its first NUL (query_read processes chunks with strlen/char loops,
+    query.cc:274-330)."""
+    pos, n = 0, len(text)
+    while pos < n:
+        end = text.find("\n", pos, pos + LINE_MAX - 1)
+        if end >= 0:
+            chunk = text[pos: end + 1]
+        else:
+            chunk = text[pos: pos + LINE_MAX - 1]
+        pos += len(chunk)
+        nul = chunk.find("\0")
+        yield chunk if nul < 0 else chunk[:nul]
+
+
 def read_fasta(fp: TextIO) -> Iterator[tuple[str, str]]:
     """Yield (description, raw_sequence) records from a FASTA stream.
 
-    Text before the first '>' header is treated as a sequence with an empty
-    description, like the reference reader.
+    Reference semantics (query_read, query.cc:265-335), including the
+    fgets quirks: a physical line longer than LINE_MAX-1 bytes is
+    processed as several chunks — the tail of an overlong header line
+    feeds the SEQUENCE char map, and a '>' landing at a chunk boundary
+    of an overlong sequence line starts a new record; a chunk whose
+    strlen is zero (NUL at its start) stops the reader entirely.  Text
+    before the first '>' is a sequence with an empty description.
     """
     desc = None
     chunks: list[str] = []
     started = False
-    for line in fp:
-        line = line.rstrip("\n")
-        if line.startswith(">"):
+    for chunk in _fgets_chunks(fp.read()):
+        if not chunk:
+            break                  # !query_line[0]: reading ends here
+        if chunk.endswith("\n"):
+            chunk = chunk[:-1]
+        if chunk.startswith(">"):
             if started:
                 yield (desc or "", "".join(chunks))
-            desc = line[1:]
+            desc = chunk[1:]
             chunks = []
             started = True
         else:
-            chunks.append(line)
+            chunks.append(chunk)
             started = True
     if started:
         yield (desc or "", "".join(chunks))
@@ -117,11 +145,16 @@ def read_queries(path: str, symtype: int, strands: int,
     opened eagerly so a missing path fails at call time like the
     reference's query_init fatal (query.cc:194).
     """
+    import io as _io
     if path == "-":
-        import io as _io
         fp = _io.TextIOWrapper(sys.stdin.buffer, encoding="latin-1")
     else:
-        fp = open(path, encoding="latin-1")
+        try:
+            fp = open(path, encoding="latin-1")
+        except IsADirectoryError:
+            # C fopen succeeds on a directory and fgets then fails:
+            # the reference reads it as an empty query file
+            fp = _io.StringIO("")
 
     def gen():
         try:

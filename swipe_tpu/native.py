@@ -62,7 +62,10 @@ def align(a, b, matrix, q, r, hint=None):
     coords = np.zeros(5, dtype=np.int64)  # score, ab, bb, ae, be
     if hint is not None:
         coords[0], coords[3], coords[4] = hint
-    cap = 16 * (len(a8) + len(b8)) + 64
+    # op string is <= 2*(M+N): runs of "X<len>" with sum(len) <= M+N and
+    # digits(len) <= len.  (The old 16x cap zeroed multi-GB buffers for
+    # chromosome-scale subjects on the hint-less blastn -S 2 path.)
+    cap = 2 * (len(a8) + len(b8)) + 64
     buf = ctypes.create_string_buffer(cap)
     rc = lib.swtpu_align(
         a8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)), len(a8),

@@ -383,6 +383,98 @@ def test_golden_cli_quirks(ref_swipe, dbs):
         assert err.strip() == r.stderr.decode().strip(), args
 
 
+def test_golden_overlong_header_line(ref_swipe, dbs, tmp_path):
+    """The reference reads queries with fgets(LINE_MAX=2048): a header
+    line longer than 2047 bytes is split — the tail chunk feeds the
+    SEQUENCE map (query.cc:274-330).  Byte parity includes this quirk."""
+    rng = np.random.default_rng(91)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    qp = "".join(rng.choice(AAl, 50))
+    # 2500-char header whose tail contains mappable residues; the real
+    # sequence follows on the next line
+    longdesc = "q_long " + "x" * 2300 + "".join(rng.choice(AAl, 160))
+    (tmp_path / "q.fa").write_text(f">{longdesc}\n{qp}\n")
+    args = ["-p", "blastp", "-m", "9", "-e", "1000",
+            "-d", str(dbs / "prot"), "-i", str(tmp_path / "q.fa")]
+    ref_out = _normalize(run_ref(ref_swipe, args))
+    our_out = _normalize(run_ours(args))
+    assert our_out == ref_out, "\n".join(_first_diff(ref_out, our_out))
+
+
+def test_golden_unopenable_query(ref_swipe, dbs, tmp_path):
+    """fopen failures (a missing path) produce the reference's clean
+    fatal before any output (query.cc:193-194); a DIRECTORY is the C
+    quirk case — fopen succeeds, reads fail, and the run completes with
+    zero queries."""
+    import io as _io
+    from contextlib import redirect_stderr, redirect_stdout
+
+    from swipe_tpu.cli import main as cli_main
+    qdir = tmp_path / "qdir"
+    qdir.mkdir()
+
+    def ours(args):
+        buf, err = _io.StringIO(), _io.StringIO()
+        with redirect_stdout(buf), redirect_stderr(err):
+            try:
+                rc = cli_main(args + ["--backend", "lax"])
+            except SystemExit as e:
+                rc = e.code or 0
+        return rc, buf.getvalue(), err.getvalue()
+
+    base = ["-p", "blastp", "-d", str(dbs / "prot"), "-i"]
+    # missing file: both fatal with the same message
+    args = base + [str(tmp_path / "nope.fa")]
+    r = subprocess.run([ref_swipe] + args, capture_output=True, timeout=60)
+    rc, out, err = ours(args)
+    assert rc == r.returncode == 1
+    assert err.strip() == r.stderr.decode().strip() \
+        == "Cannot open query file."
+    # directory: both run to completion with no queries
+    args = base + [str(qdir)]
+    r = subprocess.run([ref_swipe] + args, capture_output=True, timeout=60)
+    rc, out, err = ours(args)
+    assert rc == r.returncode == 0
+    assert _normalize(out) == _normalize(r.stdout.decode())
+
+
+def test_golden_dump_ignores_msk(ref_swipe, tmp_path):
+    """-N dump iterates every seqno and filters only per defline
+    (membership bits/taxid, swipe.cc:2539-2545 -> db_parse_header); the
+    .msk oid bitmap the SEARCH phase honors is never consulted, so a
+    sequence whose msk bit is clear but whose defline memberships pass
+    still dumps."""
+    import struct
+
+    from swipe_tpu.io.asn1 import Defline
+    rng = np.random.default_rng(92)
+    AAl = list("ARNDCQEGHILKMFPSTWYV")
+    n = 8
+    seqs, dls = [], []
+    for i in range(n):
+        seqs.append(encode("".join(rng.choice(AAl, 40)), MAP_NCBI_AA))
+        dls.append([Defline(title=f"dk{i} dump-msk {i}", memberships=1)])
+    write_blastdb(str(tmp_path / "base"), seqs, dls, "aa",
+                  title="dump msk base", date="Jan 1, 2026  12:00 AM")
+    # msk keeps only EVEN oids, but every defline has the membership bit
+    bits = bytearray((n + 7) // 8)
+    nres = 0
+    for i in range(0, n, 2):
+        bits[i // 8] |= 1 << (7 - (i % 8))
+        nres += len(seqs[i])
+    (tmp_path / "sub.msk").write_bytes(struct.pack(">I", n) + bytes(bits))
+    (tmp_path / "sub.pal").write_text(
+        "TITLE  dump msk subset\nDBLIST base\nOIDLIST sub.msk\n"
+        "LENGTH %d\nNSEQ %d\nMAXOID %d\nMEMB_BIT 1\n"
+        % (nres, n // 2, n - 1))
+    for dump in ("1", "2"):
+        args = ["-d", str(tmp_path / "sub"), "-N", dump]
+        ref_out = _normalize(run_ref(ref_swipe, args))
+        our_out = _normalize(run_ours(args))
+        assert "dk1" in our_out     # odd oid: msk-excluded, still dumped
+        assert our_out == ref_out, "\n".join(_first_diff(ref_out, our_out))
+
+
 def test_golden_stdin_query(ref_swipe, dbs):
     """Queries on standard input: explicit `-i -` and the no-flag default
     both read stdin (query.cc uses '-' as the default query filename)."""
