@@ -132,6 +132,13 @@ def one_case(ref_bin, d, rng, case):
             desc = f">fq{case}_{qi} fuzz query {case}.{qi}"
             if rng.random() < 0.08:
                 desc = ">"        # empty description (query_show parity)
+            if rng.random() < 0.04:
+                # header beyond fgets' 2047-byte buffer: the tail chunk
+                # feeds the SEQUENCE map (query.cc LINE_MAX quirk)
+                desc += " " + "padword " * int(rng.integers(260, 400)) \
+                    + "".join(rng.choice(qalpha, 60))
+            if rng.random() < 0.04:
+                q = ""            # empty record: Kmn = 0 thresholds
             f.write(f"{desc}\n{q}\n")
 
     # occasional database-dump case (-N 1/2): no search at all
