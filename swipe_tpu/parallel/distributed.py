@@ -116,20 +116,30 @@ def sharded_topk_scores(mesh: Mesh, qpt, db, seg_ids, unit_ids, *, nsegs: int,
 
 
 def merge_topk(scores: np.ndarray, units: np.ndarray, k: int
-               ) -> tuple[np.ndarray, np.ndarray]:
+               ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side final merge of gathered per-device top-k lists.
 
     Sentinel padding entries (unit -1, masked to score -1 on device —
-    below any legal SW score) sort last; the result is trimmed so no row
-    is wider than the largest real result count.  Rows with fewer real
-    results than others still carry trailing unit<0 entries, which
-    callers must skip.
+    below any legal SW score) sort last.  Returns
+    ``(scores [NQ, kk], units [NQ, kk], counts [NQ])`` where ``counts[i]``
+    is the number of REAL entries in row i: row i's results are exactly
+    ``scores[i, :counts[i]]`` / ``units[i, :counts[i]]`` and the explicit
+    count replaces the old "skip trailing unit<0 entries" convention.
+    Entries at or beyond ``counts[i]`` are pinned to score -1 / unit -1.
     """
     order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
     s = np.take_along_axis(scores, order, axis=1)
     u = np.take_along_axis(units, order, axis=1)
-    kk = min(k, int((u >= 0).sum(axis=1).max())) if u.size else 0
-    return s[:, :kk], u[:, :kk]
+    real = u >= 0
+    counts = real.sum(axis=1).astype(np.int64)
+    kk = min(k, int(counts.max())) if u.size else 0
+    s, u, real = s[:, :kk], u[:, :kk], real[:, :kk]
+    # uniform sentinels past each row's count (device masking already
+    # guarantees score -1 there, but pin it so the contract is typed,
+    # not conventional)
+    s = np.where(real, s, -1)
+    u = np.where(real, u, -1)
+    return s, u, np.minimum(counts, kk)
 
 
 def shard_stream_chunk(chunk, n_db: int):

@@ -59,8 +59,9 @@ def test_sharded_stream_topk_exact():
         jnp.asarray(ch.start), jnp.asarray(eb), jnp.asarray(ln),
         jnp.asarray(un), gapopenextend=12, gapextend=1, k=k,
         backend="lax")
-    top_s, top_u = merge_topk(np.asarray(scores), np.asarray(units), k)
+    top_s, top_u, cnt = merge_topk(np.asarray(scores), np.asarray(units), k)
     assert int(np.asarray(cells)) == len(seqs) * len(queries)
+    assert (cnt == top_s.shape[1]).all()
 
     want = np.stack([sw_numpy_many(q, seqs, m.matrix, 11, 1)
                      for q in queries])
@@ -92,8 +93,10 @@ def test_sharded_stream_topk_sentinel_trim():
         jnp.asarray(ch.start), jnp.asarray(eb), jnp.asarray(ln),
         jnp.asarray(un), gapopenextend=12, gapextend=1, k=k,
         backend="lax")
-    top_s, top_u = merge_topk(np.asarray(scores), np.asarray(units), k)
+    top_s, top_u, cnt = merge_topk(np.asarray(scores), np.asarray(units), k)
     assert top_u.shape[1] == len(seqs)
+    # the explicit per-row count replaces the skip-unit<0 convention
+    assert (cnt == len(seqs)).all()
     assert (top_u >= 0).all()
     want = sw_numpy_many(queries[0], seqs, m.matrix, 11, 1)
     assert np.array_equal(top_s[0], np.sort(want)[::-1])
@@ -119,7 +122,8 @@ def test_sharded_stream_mesh_shapes(n_db, n_q):
         jnp.asarray(ch.start), jnp.asarray(eb), jnp.asarray(ln),
         jnp.asarray(un), gapopenextend=12, gapextend=1, k=k,
         backend="lax")
-    top_s, top_u = merge_topk(np.asarray(scores), np.asarray(units), k)
+    top_s, top_u, cnt = merge_topk(np.asarray(scores), np.asarray(units), k)
+    assert (cnt == top_s.shape[1]).all()
     want = np.stack([sw_numpy_many(q, seqs, m.matrix, 11, 1)
                      for q in queries])
     for qi in range(n_q):
