@@ -29,7 +29,8 @@ The TPU-native equivalent here is SPMD over a global device mesh:
 Every host ends with identical, fully-aligned HitLists; rank 0 renders
 the report (the CLI wires this through ``--mh-procs/--mh-rank/
 --mh-coord``, and the N-process CPU test asserts byte-identical output
-vs the single-process run).
+vs the single-process run — modulo the volatile timing/speed lines, on
+the lax backend; real-chip multi-host hardware is not available here).
 
 Chromosome-scale sequences compose with multi-host: units longer than
 ``max_cols`` are excluded from the owning host's lane pack and stream
@@ -69,23 +70,57 @@ def init_multihost(coordinator: str, num_processes: int, process_id: int,
                                process_id=process_id)
 
 
-def split_seqnos(db, n_hosts: int) -> list[tuple[int, int]]:
-    """Contiguous per-host seqno ranges, volume-aligned when possible.
+def _db_cumlens(db) -> np.ndarray:
+    """[seqcount + 1] cumulative residue counts, from the offset tables
+    when the backing store answers cheaply (BlastDatabase.get_length
+    never decodes)."""
+    n = db.seqcount()
+    lens = np.empty(n, dtype=np.int64)
+    for s in range(n):
+        lens[s] = db.get_length(s, 0 if getattr(db, "dbtype", "aa") == "nt"
+                                else 1)[1]
+    return np.concatenate([[0], np.cumsum(lens)])
 
-    Multi-volume BLAST dbs snap the host boundaries to volume starts so
-    each host maps whole volumes (the reference's calc_chunks never
-    crosses volumes either, database.cc:1102-1103); otherwise the split
-    is an even seqno partition.
+
+def split_seqnos(db, n_hosts: int, *,
+                 balance_tol: float = 0.20) -> list[tuple[int, int]]:
+    """Contiguous per-host seqno ranges balanced by RESIDUE mass.
+
+    The reference's master hands chunks out dynamically so a skewed
+    database never idles a rank (search_getwork /root/reference/
+    swipe.cc:1335-1362, master loop :1883-1994).  The static-SPMD
+    equivalent is a size-proportional split: host cuts are placed on the
+    cumulative residue curve (lengths read from the volume offset tables
+    — no sequence decode), not on the sequence count, so one giant
+    volume among tiny ones still yields near-equal per-host work.  Cuts
+    are then snapped to volume starts (mmap locality; the reference's
+    calc_chunks never crosses volumes either, database.cc:1102-1103) but
+    ONLY when the snap keeps every host's residue load within
+    ``balance_tol`` of the even share — load balance outranks volume
+    alignment.  Residual imbalance is bounded by the longest single
+    sequence (chromosome-scale units additionally stream through the
+    owning host's bounded carry series, see MultiHostEngine).
     """
     total = db.seqcount()
+    cum = _db_cumlens(db)
+    even = cum[-1] / n_hosts if n_hosts else 0
+    # residue-proportional cut points
+    cuts = [0]
+    for h in range(1, n_hosts):
+        cuts.append(int(np.searchsorted(cum, h * even, side="left")))
+    cuts.append(total)
     vol_start = getattr(db, "_vol_start", None)
-    cuts = [round(h * total / n_hosts) for h in range(n_hosts + 1)]
-    if vol_start is not None and len(vol_start) > 2:
+    if vol_start is not None and len(vol_start) > 2 and even > 0:
         vs = np.asarray(vol_start, dtype=np.int64)
         for h in range(1, n_hosts):
-            cuts[h] = int(vs[np.argmin(np.abs(vs - cuts[h]))])
-    for h in range(1, n_hosts + 1):
-        cuts[h] = max(cuts[h], cuts[h - 1])
+            snapped = int(vs[np.argmin(np.abs(cum[vs] - cum[cuts[h]]))])
+            trial = list(cuts)
+            trial[h] = snapped
+            trial = np.maximum.accumulate(trial)
+            loads = cum[trial[1:]] - cum[trial[:-1]]
+            if loads.max() <= (1 + balance_tol) * even:
+                cuts[h] = snapped
+    cuts = list(np.maximum.accumulate(cuts))
     cuts[n_hosts] = total
     return list(zip(cuts[:-1], cuts[1:]))
 

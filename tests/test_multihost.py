@@ -165,7 +165,8 @@ def test_split_seqnos_volume_aligned(tmp_path):
         "TITLE  split test\nDBLIST %s\n" % " ".join(vols))
     db = blastdb.BlastDatabase(str(tmp_path / "all"), "aa")
     ranges = split_seqnos(db, 2)
-    # boundary snaps to a volume start (0, 7, 12 or 21)
+    # near-balanced volumes: the boundary snaps to a volume start
+    # (7 or 12 — both within the 1.2x balance tolerance)
     assert ranges[0][0] == 0 and ranges[-1][1] == 21
     assert ranges[0][1] in (7, 12)
     assert ranges[0][1] == ranges[1][0]
@@ -176,6 +177,76 @@ def test_split_seqnos_volume_aligned(tmp_path):
                         "aa")
     r = split_seqnos(fdb, 2)
     assert r[0][0] == 0 and r[-1][1] == 3 and r[0][1] == r[1][0]
+
+
+def test_split_seqnos_residue_balanced_skew(tmp_path):
+    """Deliberately unbalanced volumes (1 giant + 3 tiny): a count-based
+    or always-volume-snapped split would idle one host; the residue-
+    proportional split must keep per-host residue loads within 1.2x of
+    the even share (the dynamic-handout balance bar of the reference's
+    master, swipe.cc:1883-1994), cutting MID-volume when snapping would
+    blow the tolerance."""
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    from swipe_tpu.io import blastdb
+    from swipe_tpu.io.blastdb_writer import make_deflines, write_blastdb
+    from swipe_tpu.parallel.multihost import _db_cumlens, split_seqnos
+    rng = np.random.default_rng(11)
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    plans = [(30, 400), (5, 40), (5, 40), (5, 40)]   # (count, len) per vol
+    vols = []
+    for v, (n, L) in enumerate(plans):
+        seqs = [encode("".join(rng.choice(AA, L)), MAP_NCBI_AA)
+                for _ in range(n)]
+        write_blastdb(str(tmp_path / f"sv{v}"), seqs,
+                      make_deflines([f"sv{v}s{i}" for i in range(n)]), "aa",
+                      title=f"skewvol{v}", date="Jan 1, 2026  12:00 AM")
+        vols.append(f"sv{v}")
+    (tmp_path / "skew.pal").write_text(
+        "TITLE  skew test\nDBLIST %s\n" % " ".join(vols))
+    db = blastdb.BlastDatabase(str(tmp_path / "skew"), "aa")
+    for n_hosts in (2, 3):
+        ranges = split_seqnos(db, n_hosts)
+        assert ranges[0][0] == 0 and ranges[-1][1] == db.seqcount()
+        assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+        cum = _db_cumlens(db)
+        loads = np.array([cum[hi] - cum[lo] for lo, hi in ranges])
+        even = cum[-1] / n_hosts
+        assert loads.max() <= 1.2 * even, (loads, even)
+
+
+def test_multihost_skewed_volumes_output_identical(tmp_path):
+    """2-process run over the skewed multi-volume db must stay
+    byte-identical to the single-process run (the mid-volume cuts of the
+    residue-balanced split must not perturb global unit numbering)."""
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    from swipe_tpu.io.blastdb_writer import make_deflines, write_blastdb
+    rng = np.random.default_rng(23)
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    qp = "".join(rng.choice(AA, 60))
+    plans = [(20, 300), (4, 50), (4, 50)]
+    vols = []
+    sno = 0
+    for v, (n, L) in enumerate(plans):
+        strs = []
+        for i in range(n):
+            s = "".join(rng.choice(AA, L))
+            if sno == 3:
+                s = s[:10] + qp[5:55] + s[10:]
+            strs.append(s)
+            sno += 1
+        seqs = [encode(s, MAP_NCBI_AA) for s in strs]
+        write_blastdb(str(tmp_path / f"ov{v}"), seqs,
+                      make_deflines([f"ov{v}s{i}" for i in range(n)]), "aa",
+                      title=f"outvol{v}", date="Jan 1, 2026  12:00 AM")
+        vols.append(f"ov{v}")
+    (tmp_path / "skewed.pal").write_text(
+        "TITLE  skewed output test\nDBLIST %s\n" % " ".join(vols))
+    (tmp_path / "q.fa").write_text(f">q skew query\n{qp}\n")
+    args = ["-p", "blastp", "-m", "9", "-e", "1000",
+            "-d", str(tmp_path / "skewed"), "-i", str(tmp_path / "q.fa")]
+    single = _normalize(_run_single(args))
+    multi = _normalize(_run_multi(tmp_path, args, nproc=2))
+    assert multi == single
 
 
 def test_reverse_tie_order_property():
