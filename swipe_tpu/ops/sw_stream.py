@@ -62,7 +62,7 @@ __all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
            "sw_scores_stream_carry", "sw_scores_stream_lax_carry",
            "make_stream_state", "make_stream_state_lax", "is_megacore",
            "sw_hint_stream", "sw_scores_stream_carry_long",
-           "make_stream_state_long"]
+           "make_stream_state_long", "permute_stream_state"]
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
@@ -111,8 +111,18 @@ def _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref):
     """Block score profile via a one-hot int8 MXU matmul — the TPU
     equivalent of the reference's dprofile_fill7/shuffle7 builders
     (search7.cc:50-51, 185-186).  The one-hot stages through int8 VMEM
-    scratch (measured ~20% faster than feeding dot_general directly)."""
-    nl = db_ref.shape[1]
+    scratch (measured ~20% faster than feeding dot_general directly).
+
+    dprof_ref keeps the matmul's own [32, KSEG*SUB, NL] shape — column
+    j's (SUB, NL) plane is the static sublane slice j*SUB:(j+1)*SUB —
+    because reshaping to [32, KSEG, SUB, NL] forced Mosaic to relayout
+    the multi-MB result every block (measured: the dominant per-block
+    fixed cost for short queries).
+
+    The profile stays int32: an int8 profile was measured ~18% SLOWER —
+    the row loop's (SUB, NL) loads are quarter-tile for int8 (32-sublane
+    tiling) and the per-cell widening adds an op — so its 4x VMEM saving
+    is not worth it."""
     sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
     dblk = db_ref[...].astype(jnp.int32)                # [KSEG*SUB, NL]
     oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
@@ -120,7 +130,7 @@ def _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref):
         m8_ref[...], oh_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
-    ).reshape(32, KSEG, SUB, nl)
+    )
 
 
 def _scoring_cell(clamp):
@@ -133,68 +143,109 @@ def _scoring_cell(clamp):
     return cell
 
 
-def _make_row_body(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
-                   *, qi, qoff, soff, reset, Q, R, cell):
-    """The shared RU-blocked, pre-advanced-E/F stream recurrence.
+def _make_row_body_multi(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref,
+                         dprof_ref, *, members, reset, Q, R, cell,
+                         member_axis):
+    """The shared RU-blocked, pre-advanced-E/F stream recurrence, over
+    one or more INTERLEAVED query members.
 
     Every stream kernel runs this same inner loop: RU query rows per
     fori_loop step so the dprofile/hrow/frow traffic amortizes over the
     row group (the blocking SWIPE's ONESTEP macro does 2 rows at a time,
     search7.cc:623-645), with E and F stored pre-advanced into the next
     cell so the shared H-Q term is subtracted once (search7.cc:585-595).
-    Rows beyond qlen see the PAD profile and decay.
+    Rows beyond a member's qlen see the PAD profile and decay.
 
-    Returns a fori_loop body with carry (diag0, acc): diag0 is the
-    previous block's last-row H at the previous column; ``acc`` threads
-    the caller's accumulator through the per-cell hook
-    ``cell(h, rbase, k, col, acc) -> (h', acc')`` (scoring kernels clamp
-    and fold the running max; the hint kernel updates its column-max/row
-    scratch at query row rbase + k).  A row's query symbol reads
-    qc_ref[qi, qoff + row] and its H/E state lives at soff + row (the
-    grouped kernel packs members at soff = qg * qlen_pad; the tiled
-    kernels read query rows at qoff = tile * tile_rows; static zero
-    offsets fold away at trace time).  reset is the start-mask lane
-    reset; None skips it (the hint kernel holds one whole sequence per
-    lane).
+    ``members`` is a list of (qi, qoff, soff) tuples of INDEPENDENT
+    queries whose recurrences interleave cell by cell: the DP dependency
+    chain is latency-bound on the VPU (measured ~1.0/3.4/4.4 Tops/s of
+    chained int32 max/add at 1/2/4 independent chains on v5e), so M
+    members x (NL/128) vregs of independent work per cell keeps the ALUs
+    fed — the batch-throughput analog of SWIPE running one query per
+    hardware thread.  A member's query symbol reads qc_ref[qi, qoff+row]
+    and its H/E state lives at soff + row (the grouped kernel packs
+    members at soff = member * qlen_pad; the tiled kernels read query
+    rows at qoff = tile * tile_rows; static zero offsets fold away at
+    trace time).  reset is the start-mask lane reset; None skips it (the
+    hint kernel holds one whole sequence per lane).  With
+    ``member_axis`` the hrow/frow scratch carries a leading member axis
+    ([M, KSEG, SUB, NL]).
+
+    Returns a fori_loop body whose carry is a TUPLE of (diag0, acc) per
+    member: diag0 is the previous block's last-row H at the previous
+    column; ``acc`` threads the caller's accumulator through the
+    per-cell hook ``cell(h, rbase, k, col, acc) -> (h', acc')`` (scoring
+    kernels clamp and fold the running max; the hint kernel updates its
+    column-max/row scratch at query row rbase + k).
     """
+    M = len(members)
+
+    def at(mi, j):
+        return (mi, j) if member_axis else j
+
     def row_body(rb, carry):
-        diag0, acc = carry
         rbase = rb * RU
-        base = rbase if isinstance(soff, int) and soff == 0 \
-            else soff + rbase
-        qb = rbase if isinstance(qoff, int) and qoff == 0 \
-            else qoff + rbase
-        qsyms = [qc_ref[qi, qb + k] for k in range(RU)]
-        if reset is None:
-            hst_olds = [hst_ref[base + k] for k in range(RU)]
-            ehat = [est_ref[base + k] for k in range(RU)]
-        else:
-            hst_olds = [jnp.where(reset, 0, hst_ref[base + k])
-                        for k in range(RU)]
-            ehat = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                    for k in range(RU)]
-        diag = [diag0] + hst_olds[: RU - 1]
-        hs = list(hst_olds)
+        bases, qsyms, olds, ehat, diag, accs = [], [], [], [], [], []
+        for mi, (qi, qoff, soff) in enumerate(members):
+            base = rbase if isinstance(soff, int) and soff == 0 \
+                else soff + rbase
+            qb = rbase if isinstance(qoff, int) and qoff == 0 \
+                else qoff + rbase
+            bases.append(base)
+            qsyms.append([qc_ref[qi, qb + k] for k in range(RU)])
+            if reset is None:
+                ho = [hst_ref[base + k] for k in range(RU)]
+                eh = [est_ref[base + k] for k in range(RU)]
+            else:
+                ho = [jnp.where(reset, 0, hst_ref[base + k])
+                      for k in range(RU)]
+                eh = [jnp.where(reset, NEG_INF, est_ref[base + k])
+                      for k in range(RU)]
+            d0, acc = carry[mi]
+            olds.append(ho)
+            ehat.append(eh)
+            diag.append([d0] + ho[: RU - 1])
+            accs.append(acc)
+        hs = [list(o) for o in olds]
         for j in range(KSEG):
-            hprev = hrow_ref[j]
-            fhat = frow_ref[j]
-            hs = []
+            hprev = [hrow_ref[at(mi, j)] for mi in range(M)]
+            fh = [frow_ref[at(mi, j)] for mi in range(M)]
+            hs = [[] for _ in range(M)]
             for k in range(RU):
-                p = dprof_ref[qsyms[k], j]
-                h = jnp.maximum(jnp.maximum(diag[k] + p, 0),
-                                jnp.maximum(ehat[k], fhat))
-                h, acc = cell(h, rbase, k, j, acc)
-                hq = h - Q
-                ehat[k] = jnp.maximum(ehat[k] - R, hq)
-                fhat = jnp.maximum(fhat - R, hq)
-                hs.append(h)
-            hrow_ref[j] = hs[-1]
-            frow_ref[j] = fhat
-            diag = [hprev] + hs[: RU - 1]
-        for k in range(RU):
-            hst_ref[base + k] = hs[k]
-            est_ref[base + k] = ehat[k]
-        return hst_olds[RU - 1], acc
+                for mi in range(M):
+                    p = dprof_ref[qsyms[mi][k], j * SUB:(j + 1) * SUB]
+                    h = jnp.maximum(jnp.maximum(diag[mi][k] + p, 0),
+                                    jnp.maximum(ehat[mi][k], fh[mi]))
+                    h, accs[mi] = cell(h, rbase, k, j, accs[mi])
+                    hq = h - Q
+                    ehat[mi][k] = jnp.maximum(ehat[mi][k] - R, hq)
+                    fh[mi] = jnp.maximum(fh[mi] - R, hq)
+                    hs[mi].append(h)
+            for mi in range(M):
+                hrow_ref[at(mi, j)] = hs[mi][-1]
+                frow_ref[at(mi, j)] = fh[mi]
+                diag[mi] = [hprev[mi]] + hs[mi][: RU - 1]
+        for mi in range(M):
+            for k in range(RU):
+                hst_ref[bases[mi] + k] = hs[mi][k]
+                est_ref[bases[mi] + k] = ehat[mi][k]
+        return tuple((olds[mi][RU - 1], accs[mi]) for mi in range(M))
+
+    return row_body
+
+
+def _make_row_body(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+                   *, qi, qoff, soff, reset, Q, R, cell):
+    """Single-member form of _make_row_body_multi (the carry / tiled /
+    hint kernels run one query per grid step); carry is one
+    (diag0, acc) pair."""
+    multi = _make_row_body_multi(
+        qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
+        members=[(qi, qoff, soff)], reset=reset, Q=Q, R=R, cell=cell,
+        member_axis=False)
+
+    def row_body(rb, carry):
+        return multi(rb, (carry,))[0]
 
     return row_body
 
@@ -203,8 +254,8 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
                            out_ref, hst_ref, est_ref, hrow_ref, frow_ref,
                            s_ref, oh_ref, dprof_ref, *,
                            Q: int, R: int, clamp: int | None,
-                           qgroup: int, qlen_pad: int):
-    """One (query-group, db-block, group-member) grid step.
+                           qgroup: int, qlen_pad: int, minter: int):
+    """One (query-group, db-block, member-tuple) grid step.
 
     The score profile ("dprofile") depends only on the db block — NOT on
     the query — so the grid iterates group members fastest and builds the
@@ -213,22 +264,30 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
     regardless of query count, search7.cc:50-51; this recovers the same
     economics for short-query batches).  The members' H/E row states
     co-reside in one VMEM scratch of qgroup * qlen_pad rows.
+
+    ``minter`` members run INTERLEAVED per grid step
+    (_make_row_body_multi): their independent recurrences double the
+    VPU's dependency chains — the DP is latency-bound, so pairing
+    members approaches the 4-chain issue rate (see the chain-count
+    measurements in _make_row_body_multi's docstring).  A pair shares
+    the row loop's trip count (max of the two qlens; slots are
+    length-bucketed so members match), and a shorter member's extra
+    rows read the PAD profile and decay.
     """
     gi = pl.program_id(0)
     b = pl.program_id(1)
-    qg = pl.program_id(2)
+    qp = pl.program_id(2)
     nl = db_ref.shape[1]
-    qi = gi * qgroup + qg
-    off = qg * qlen_pad          # this member's row range in the state
+    g0 = qp * minter             # first member of this step in the group
 
-    @pl.when((b == 0) & (qg == 0))
+    @pl.when((b == 0) & (qp == 0))
     def _init():
         hst_ref[...] = jnp.zeros_like(hst_ref)
         est_ref[...] = jnp.full_like(est_ref, NEG_INF)
         s_ref[...] = jnp.zeros_like(s_ref)
 
     # ---- dprofile: built once per (group, block), reused by members ---------
-    @pl.when(qg == 0)
+    @pl.when(qp == 0)
     def _dprofile():
         _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
 
@@ -236,20 +295,24 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
     frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
 
-    qlen = ql_ref[qi]
-    # the shared recurrence, with rows offset into the member's slice of
-    # the group's co-resident state
-    row_body = _make_row_body(
+    qis = [gi * qgroup + g0 + mi for mi in range(minter)]
+    members = [(qis[mi], 0, (g0 + mi) * qlen_pad) for mi in range(minter)]
+    qlen = ql_ref[qis[0]]
+    for mi in range(1, minter):
+        qlen = jnp.maximum(qlen, ql_ref[qis[mi]])
+    row_body = _make_row_body_multi(
         qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
-        qi=qi, qoff=0, soff=off, reset=reset, Q=Q, R=R,
-        cell=_scoring_cell(clamp))
+        members=members, reset=reset, Q=Q, R=R,
+        cell=_scoring_cell(clamp), member_axis=True)
     nrb = (qlen + RU - 1) // RU
-    _, s = jax.lax.fori_loop(
-        0, nrb, row_body,
-        (jnp.zeros((SUB, nl), jnp.int32),
-         jnp.where(reset, 0, s_ref[qg])))
-    s_ref[qg] = s
-    out_ref[0, 0] = s
+    init = tuple((jnp.zeros((SUB, nl), jnp.int32),
+                  jnp.where(reset, 0, s_ref[g0 + mi]))
+                 for mi in range(minter))
+    final = jax.lax.fori_loop(0, nrb, row_body, init)
+    for mi in range(minter):
+        s = final[mi][1]
+        s_ref[g0 + mi] = s
+        out_ref[mi, 0] = s
 
 
 def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
@@ -371,7 +434,11 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     qgroup:  queries whose H/E states co-reside in VMEM and share one
              dprofile build per db block (the short-query amortization;
              qgroup * QLEN rows of state must fit the VMEM budget —
-             callers size it from STREAM_CONFIGS caps)
+             callers size it from STREAM_CONFIGS caps).  Even qgroups
+             additionally run members PAIRWISE-INTERLEAVED in the row
+             loop (minter=2): two independent recurrences double the
+             VPU's dependency chains (the DP is latency-bound — see
+             _make_row_body_multi), the main batch-throughput lever.
     Returns [NQ, L // KSEG, NSEQS] int32: each lane's running max score
     after every block; a sequence's score is the value at its end block
     (gather_scores).
@@ -402,13 +469,15 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
     db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
     start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
 
+    minter = 2 if qgroup % 2 == 0 else 1
+    npairs = qgroup // minter
     kernel = functools.partial(
         _stream_kernel_grouped, Q=gapopenextend, R=gapextend, clamp=clamp,
-        qgroup=qgroup, qlen_pad=qlen_pad)
+        qgroup=qgroup, qlen_pad=qlen_pad, minter=minter)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ngroups, nblocks, qgroup),
+        grid=(ngroups, nblocks, npairs),
         in_specs=[
             pl.BlockSpec((32, 32), lambda g, b, q, *_: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -418,17 +487,17 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, SUB, nl),
-            lambda g, b, q, *_: (g * qgroup + q, b, 0, 0),
+            (minter, 1, SUB, nl),
+            lambda g, b, q, *_: (g * npairs + q, b, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
             pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
-            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
-            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((qgroup, SUB, nl), jnp.int32),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
-            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
         ],
     )
     out = pl.pallas_call(
@@ -554,7 +623,7 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
-            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
@@ -573,6 +642,34 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
         interpret=interpret,
     )(qcodes, qlens, matrix8, db8, start32, h, e, s)
     return out.reshape(nq, nblocks, nseqs), h2, e2, s2
+
+
+@jax.jit
+def permute_stream_state(h: jax.Array, e: jax.Array, s: jax.Array,
+                         carry_src: jax.Array):
+    """Gather a carry state across lanes by FlowChunk.carry_src.
+
+    Between two chunks of a FLOW series (batching.pack_stream_flow) a cut
+    sequence may continue on a different lane; this reindexes the carried
+    per-lane DP state so lane i of the next launch holds the state of
+    lane carry_src[i].  Fresh lanes (carry_src < 0) receive lane 0's
+    state, which the next chunk's block-0 start mask discards anyway.
+    Accepts both the kernel layout (h/e [NQ, QLEN, SUB, NL], lane
+    i <-> (i // NL, i % NL)) and the lax twin's [NQ, QLEN, NSEQS].
+    The output's lane count is ``len(carry_src)`` — drain chunks narrow
+    the state by passing a shorter carry_src.
+    """
+    src = jnp.where(carry_src < 0, 0, carry_src)
+
+    def g(x, kern):
+        if kern:   # kernel layout [..., SUB, NL] -> flat lane axis
+            shape = x.shape
+            x = x.reshape(*shape[:-2], shape[-2] * shape[-1])
+            return x[..., src].reshape(*shape[:-2], SUB, -1)
+        return x[..., src]
+
+    kern = h.ndim == 4
+    return g(h, kern), g(e, kern), g(s, kern)
 
 
 @jax.jit
@@ -730,7 +827,7 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
-            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
         ],
     )
     s, bq, bp = pl.pallas_call(
@@ -974,7 +1071,7 @@ def _stream_tile_pass(qcodes, qlens, tile, matrix8, db8, start32, bh, bf,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
-            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -1140,7 +1237,7 @@ def _stream_tile_carry_pass(qcodes, qlens, tile, matrix8, db8, start32,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
-            pltpu.VMEM((32, KSEG, SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )
