@@ -29,7 +29,7 @@ import numpy as np
 from .ops.sw_pallas import PAD_SYMBOL, SEG_BLK
 
 __all__ = ["PackedChunk", "pack_database", "StreamChunk", "pack_stream",
-           "pack_stream_carry", "round_up"]
+           "pack_stream_carry", "FlowChunk", "pack_stream_flow", "round_up"]
 
 
 def round_up(x: int, m: int) -> int:
@@ -272,6 +272,146 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
         heapq.heappushpop(heap, (used + nb, ln))
         members[ln].append(int(si))
     flush()
+    return chunks
+
+
+@dataclass
+class FlowChunk(StreamChunk):
+    """A chunk of a FLOW series (pack_stream_flow): like a StreamChunk,
+    plus ``carry_src[lane]`` = the lane of the PREVIOUS chunk whose
+    carried H/E/S state this lane continues (-1 = the lane starts fresh;
+    all -1 for chunk 0).  Consumers gather the previous chunk's carry
+    state by ``carry_src`` before the launch
+    (ops.sw_stream.permute_stream_state)."""
+
+    carry_src: np.ndarray = None
+
+
+def pack_stream_flow(seqs: list[np.ndarray], nseqs: int = 2048,
+                     max_cols: int = 2048, block: int = 16,
+                     drain_cols: int | None = None,
+                     seqnos: np.ndarray | None = None) -> list[FlowChunk]:
+    """Full-occupancy flow packing: cut ANY sequence at chunk capacity.
+
+    pack_stream cannot beat occupancy = mean_lane_load / longest_member
+    inside one chunk (every lane pads to the tallest), which collapses on
+    heavy-tailed length distributions over small databases (measured 0.60
+    on a Swiss-Prot-fitted 10k corpus).  Here the database streams
+    through FIXED (nseqs x max_cols) chunks instead: each lane fills
+    completely, the sequence covering a lane's last column is cut there,
+    and its remainder continues at block 0 of the NEXT chunk — on
+    whichever lane it lands — with the DP state (H/E/S) gathered across
+    lanes between launches.  Every chunk except the last is full modulo
+    block rounding, so occupancy is ~cols/(cols+block/2) on ANY length
+    distribution.  This generalizes the reference's channel-refill
+    machine (/root/reference/search7.cc:830-957) across launches: SWIPE
+    refills a lane the moment a sequence ends; the flow series also
+    refills mid-sequence at chunk boundaries.
+
+    The returned chunks must be scored IN ORDER with carried state
+    permuted by ``carry_src`` between launches
+    (ops.sw_stream.sw_scores_stream_carry + permute_stream_state);
+    ``seqnos``/``lane``/``end_block`` list the sequences *ending* in each
+    chunk, ready for gather_scores.
+    """
+    if max_cols % block:
+        raise ValueError(f"max_cols {max_cols} not a multiple of {block}")
+    if drain_cols is None:
+        drain_cols = min(max_cols, 128)
+    if drain_cols % block:
+        raise ValueError(f"drain_cols {drain_cols} not a multiple of {block}")
+    if seqnos is None:
+        seqnos = np.arange(len(seqs), dtype=np.int64)
+    if not len(seqs):
+        return []
+    H_full = max_cols // block
+    H_drain = max(drain_cols // block, 1)
+    nblk = [max(-(-len(s) // block), 1) for s in seqs]
+    lens_arr = np.array([len(s) for s in seqs], dtype=np.int64)
+    # longest first: long sequences are consumed (and their cut chains
+    # retired) early, so the end-game — where the queue dries mid-chunk
+    # and lanes can no longer fill — involves only short sequences and
+    # the final chunks stay compact
+    queue = list(np.argsort(-lens_arr, kind="stable"))[::-1]
+    # carried remainders: (seq index, blocks already consumed, prev lane)
+    remainders: list[tuple[int, int, int]] = []
+    chunks: list[FlowChunk] = []
+    while queue or remainders:
+        # drain phase: once the queue is dry only cut chains remain (few,
+        # for heavy tails).  A chain advances at most one chunk height
+        # per launch while every lane of the launch pays full time, so
+        # drain chunks get SHORT (drain_cols) and NARROW (the smallest
+        # 1024-lane multiple — the Pallas kernel's minimum width — that
+        # holds the chains; the carried state narrows with the chunk
+        # through the carry_src gather).
+        draining = not queue
+        H = H_drain if draining else H_full
+        width = nseqs if not draining else \
+            min(nseqs, max(round_up(len(remainders), 1024), 1024))
+        lanes: list[list[tuple[int, int, int]]] = []   # (si, off, nb) per lane
+        carry_src = np.full(width, -1, dtype=np.int32)
+        new_rem: list[tuple[int, int, int]] = []
+        used_blocks = 0
+        for ln in range(width):
+            lane: list[tuple[int, int, int]] = []
+            free = H
+            if remainders:
+                si, off, prev_ln = remainders.pop()
+                carry_src[ln] = prev_ln
+                nb = nblk[si] - off
+                if nb > free:
+                    lane.append((si, off, free))
+                    new_rem.append((si, off + free, ln))
+                    free = 0
+                else:
+                    lane.append((si, off, nb))
+                    free -= nb
+            while free and queue:
+                si = queue.pop()
+                nb = nblk[si]
+                if nb > free:
+                    lane.append((si, 0, free))
+                    new_rem.append((si, free, ln))
+                    free = 0
+                else:
+                    lane.append((si, 0, nb))
+                    free -= nb
+            used_blocks = max(used_blocks, H - free)
+            lanes.append(lane)
+            if not queue and not remainders:
+                lanes += [[] for _ in range(nseqs - ln - 1)]
+                break
+        remainders = new_rem[::-1]          # pop() keeps lane order
+        # every chunk shrinks to its tallest used lane (bucketed to 8
+        # blocks for bounded compile-cache shapes): full chunks keep H,
+        # the end-game drain chunks stay compact.  Shrinking is safe
+        # because used_blocks IS the max any lane filled — cut positions
+        # at H only exist on lanes that reached H.
+        hc = min(max(round_up(used_blocks, 8), 8), H)
+        data_t = np.full((width, hc * block), PAD_SYMBOL, dtype=np.int8)
+        start = np.zeros((hc, width), dtype=np.int8)
+        snos, lanev, endv = [], [], []
+        residues = 0
+        for ln, lane in enumerate(lanes):
+            b = 0
+            for si, off, nb in lane:
+                s = seqs[si]
+                piece = s[off * block: (off + nb) * block]
+                data_t[ln, b * block: b * block + len(piece)] = piece
+                residues += len(piece)
+                if off == 0:
+                    start[b, ln] = 1
+                if off + nb == nblk[si]:    # the sequence ends here
+                    snos.append(seqnos[si])
+                    lanev.append(ln)
+                    endv.append(b + nb - 1)
+                b += nb
+        chunks.append(FlowChunk(
+            data_t, start,
+            np.array(snos, dtype=np.int64),
+            np.array(lanev, dtype=np.int32),
+            np.array(endv, dtype=np.int32),
+            residues, carry_src=carry_src))
     return chunks
 
 

@@ -110,6 +110,40 @@ def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
     return jax.jit(impl)
 
 
+@functools.lru_cache(maxsize=256)
+def _fused_flow_step(first, has_ends, interpret, gapopenextend, gapextend,
+                     nslots, topk, k, sl7, sl16):
+    """One jitted computation per flow-chunk configuration: state permute
+    -> carry kernel -> score gather -> (optionally) device top-K.
+
+    The flow series (batching.pack_stream_flow) threads per-lane DP state
+    chunk to chunk, so unlike _fused_stream_step the carried (h, e, s)
+    rides through the step; ``first`` skips the permute on chunk 0 and
+    ``has_ends`` elides the gather for chunks where no sequence ends."""
+    import jax
+
+    from .ops.sw_stream import (gather_scores, permute_stream_state,
+                                sw_scores_stream_carry)
+
+    def impl(qc, ql, m8, data, start, src, h, e, s, eb, ln,
+             init_thr, upper):
+        if not first:
+            h, e, s = permute_stream_state(h, e, s, src)
+        out, h, e, s = sw_scores_stream_carry(
+            qc, ql, m8, data, start, h, e, s,
+            gapopenextend=gapopenextend, gapextend=gapextend,
+            interpret=interpret)
+        if not has_ends:
+            return h, e, s
+        sc = gather_scores(out, eb, ln)[:nslots]
+        if topk:
+            return (h, e, s) + _chunk_reduce_impl(sc, init_thr, upper, k,
+                                                  sl7, sl16)
+        return h, e, s, sc
+
+    return jax.jit(impl)
+
+
 @dataclass
 class SearchParams:
     symtype: int = 1
@@ -252,11 +286,14 @@ class SearchEngine:
         self._giant_ids = np.nonzero(lens > max_cols)[0].astype(np.int64)
         self._normal_ids = np.nonzero(lens <= max_cols)[0].astype(np.int64)
         self._giant_seqs = [self._unit_seqs[i] for i in self._giant_ids]
+        self._norm_lens = lens[self._normal_ids]
         self._carry_packs: dict[int, list] = {}
         self._stream_packs: dict[int, list] = {}
         self._dev_stream: dict[int, list] = {}
         self._seg_packs: dict[tuple, tuple] = {}
         self._dev_seg: dict[tuple, list] = {}
+        self._flow_packs: dict[int, list] = {}
+        self._dev_flow: dict[int, list] = {}
         if self.backend in ("stream", "stream_interpret"):
             self.chunks = self._stream_chunks(nseqs)
             self._seg_chunks = None
@@ -284,6 +321,63 @@ class SearchEngine:
                 [self._unit_seqs[i] for i in self._normal_ids],
                 nseqs=key[0], max_cols=key[1], seqnos=self._normal_ids)
         return self._stream_packs[key]
+
+    # flow packing engages when single-chunk lane packing would pad every
+    # lane to the tallest member: occupancy ceiling = mean_lane/longest,
+    # which collapses on heavy length tails over SMALL databases (large
+    # ones have mean lane >> longest and LPT stays ~0.95+).  Below
+    # FLOW_MIN_AVG_LANE columns of mean lane load the absolute waste is
+    # negligible and the plain single-dispatch pack stays (the flow
+    # series costs one launch + state DMA per chunk).
+    FLOW_TAIL_RATIO = 1.25
+    FLOW_MIN_AVG_LANE = 512
+
+    def _flow_cols(self, nseqs: int) -> int | None:
+        """Full-chunk height for the flow route, or None to keep the
+        plain lane pack (pack_stream)."""
+        if self._norm_lens.size == 0:
+            return None
+        total = int(self._norm_lens.sum())
+        longest = int(self._norm_lens.max())
+        avg_lane = total / nseqs
+        if avg_lane < self.FLOW_MIN_AVG_LANE \
+                or longest <= self.FLOW_TAIL_RATIO * avg_lane:
+            return None
+        mc = int(avg_lane) // 2 // 128 * 128
+        return min(max(mc, 256), self._max_cols)
+
+    def _flow_chunks(self, nseqs: int):
+        """Flow-series chunks (built lazily; see pack_stream_flow)."""
+        from .batching import pack_stream_flow
+        if nseqs not in self._flow_packs:
+            self._flow_packs[nseqs] = pack_stream_flow(
+                [self._unit_seqs[i] for i in self._normal_ids],
+                nseqs=nseqs, max_cols=self._flow_cols(nseqs),
+                drain_cols=128, seqnos=self._normal_ids)
+        return self._flow_packs[nseqs]
+
+    def _dev_flow_chunks(self, nseqs: int):
+        """Device arrays per flow chunk (score-gather coordinates in
+        reverse tie order, like _dev_stream_chunks)."""
+        import jax.numpy as jnp
+
+        def prep(c):
+            order = reverse_tie_order(self.unit_meta[c.seqnos])
+            return (jnp.asarray(c.data_t).T, jnp.asarray(c.start),
+                    jnp.asarray(c.carry_src),
+                    jnp.asarray(c.end_block[order]),
+                    jnp.asarray(c.lane[order]),
+                    c.seqnos[order], c.nseqs)
+
+        chunks = self._flow_chunks(nseqs)
+        total = sum(c.data_t.size for c in chunks)
+        if total <= self.DEVICE_CACHE_BYTES:
+            if nseqs not in self._dev_flow:
+                self._dev_flow[nseqs] = [prep(c) for c in chunks]
+            yield from self._dev_flow[nseqs]
+        else:
+            for c in chunks:
+                yield prep(c)
 
     def _segment_chunks(self) -> list[PackedChunk]:
         """Segment-packed chunks for the fallback path (built lazily)."""
@@ -552,9 +646,23 @@ class SearchEngine:
             [max(min(s[0].upperscorethreshold, 2**31 - 1), -2**31)
              for s in slots] + pad_hi, jnp.int32)
         kbase = max(s[0].keephits for s in slots) + 64
+
         def drain(item):
             units, payload, reduced = item
             self._enter_chunk(slots, units, payload, reduced, timings)
+
+        # heavy length tails over small databases route through the flow
+        # series (state-carrying chunks at ~full occupancy) instead of
+        # the single-chunk lane pack; giants still go to the carry /
+        # segmented routes below
+        if not long and self._flow_cols(nseqs) is not None:
+            self._search_flow_group(slots, qc, ql, m8, init_thr, upper_thr,
+                                    kbase, nseqs, qlen_pad, timings,
+                                    interpret, drain)
+            self._score_carry_series(
+                slots, qlen_pad, timings,
+                kind="stream_interpret" if interpret else "stream")
+            return
 
         # short-query dprofile amortization: members of a query group
         # share one dprofile build per db block; the group's row states
@@ -593,6 +701,41 @@ class SearchEngine:
         self._score_carry_series(
             slots, qlen_pad, timings,
             kind="stream_interpret" if interpret else "stream")
+
+    def _search_flow_group(self, slots, qc, ql, m8, init_thr, upper_thr,
+                           kbase, nseqs, qlen_pad, timings, interpret,
+                           drain):
+        """Score one slot group through the flow series: per chunk, ONE
+        jitted step permutes the carried state, runs the carry kernel,
+        gathers the chunk's ending units and reduces them on device
+        (_fused_flow_step).  Chunks are sequential (state dependency) but
+        dispatch is async, so host-side hit entry overlaps device work
+        behind a CHUNK_WINDOW of pending payloads."""
+        from .ops.sw_stream import make_stream_state
+        p = self.params
+        state = None
+        pending = []
+        for data, start, src, eb, ln, units, w in \
+                self._dev_flow_chunks(nseqs):
+            first = state is None
+            if first:
+                state = make_stream_state(qc.shape[0], qlen_pad, w)
+            has_ends = units.shape[0] > 0
+            use_topk = has_ends and kbase < units.shape[0]
+            step = _fused_flow_step(
+                first, has_ends, interpret, p.gapopenextend, p.gapextend,
+                int(qc.shape[0]), use_topk, kbase,
+                self.matrix.scorelimit_7, self.matrix.scorelimit_16)
+            out = step(qc, ql, m8, data, start, src, *state, eb, ln,
+                       init_thr, upper_thr)
+            state = out[:3]
+            if has_ends:
+                payload = out[3] if not use_topk else out[3:]
+                pending.append((units, payload, use_topk))
+                if len(pending) >= self.CHUNK_WINDOW:
+                    drain(pending.pop(0))
+        for item in pending:
+            drain(item)
 
     def _score_carry_series(self, slots, qlen_pad, timings, *, kind):
         """Score the giant units against all slots via the carry series.

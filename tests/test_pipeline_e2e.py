@@ -839,3 +839,38 @@ def test_cli_internal_align_error_is_clean_fatal(tmp_path, capsys):
               "-e", "1e9", "-v", "10", "-b", "10", "--backend", "lax"])
     assert exc.value.code == 1
     assert capsys.readouterr().err == "Internal error in align function.\n"
+
+
+def test_stream_flow_route_heavy_tail():
+    """Heavy length tail over a small db: the engine must take the flow
+    route (pack_stream_flow + carry kernel + state permute) and still
+    match the oracle exactly, including sequences spanning chunk cuts."""
+    rng = np.random.default_rng(91)
+    q = "".join(rng.choice(list(AA), 60))
+    plant = {5: "".join(rng.choice(list(AA), 1500)) + q[10:55],
+             17: q[5:50] + "".join(rng.choice(list(AA), 900))}
+    fasta, recs = _mkfasta(rng, 150, 20, 120, AA, plant=plant)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="flowdb")
+    query = preprocess_query("qf flow", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=150, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret")
+    eng.FLOW_MIN_AVG_LANE = 0       # engage flow on this small test db
+    assert eng._flow_cols(1024) is not None       # the route must engage
+    hits = eng.search(query)
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    seqs = [encode(s, MAP_NCBI_AA) for _, s in recs]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    got = {h.seqno: h.score for h in hits.hits}
+    for sno, sc in got.items():
+        assert sc == want[sno]
+    assert 5 in got and 17 in got
+    # device top-K reduced path too (keephits < ending units per chunk)
+    params2 = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=5, alignments=0, expect=1e9)
+    eng2 = SearchEngine(db, params2, backend="stream_interpret")
+    eng2.FLOW_MIN_AVG_LANE = 0
+    hits2 = eng2.search(query)
+    top = sorted(want, key=lambda *_: 0)
+    order = np.lexsort((-np.arange(len(want)), -want))
+    assert [h.seqno for h in hits2.hits] == list(order[:5])

@@ -391,3 +391,86 @@ def test_megacore_env_override_parsing(monkeypatch):
     for v in ("1", "true", "YES", "on"):
         monkeypatch.setenv("SWIPE_TPU_MEGACORE", v)
         assert is_megacore(), v
+
+
+def test_stream_flow_matches_oracle(m62):
+    """Flow series (pack_stream_flow): sequences cut at chunk capacity,
+    continued next chunk on permuted lanes (permute_stream_state), with
+    narrow drain chunks — scores must equal the NumPy oracle exactly."""
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream_flow
+    from swipe_tpu.ops.sw_stream import (make_stream_state,
+                                         permute_stream_state,
+                                         sw_scores_stream_carry)
+    rng = np.random.default_rng(42)
+    # heavy tail: forces multi-chunk cut chains and narrow drains
+    lens = np.concatenate([rng.integers(5, 200, 600),
+                           [900, 1400, 2000, 2600]])
+    rng.shuffle(lens)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
+    queries = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+               for L in (37, 64)]
+    chunks = pack_stream_flow(seqs, nseqs=1024, max_cols=256,
+                              drain_cols=128)
+    assert len(chunks) > 3          # the tail must actually chain
+    qc, ql = build_qcodes(queries, 64)
+    qc, ql = jnp.asarray(qc), jnp.asarray(ql)
+    m8 = jnp.asarray(build_matrix8(m62.matrix))
+    got = np.zeros((2, len(seqs)), dtype=np.int64)
+    h = e = s = None
+    for i, ch in enumerate(chunks):
+        if i == 0:
+            h, e, s = make_stream_state(2, 64, ch.nseqs)
+        else:
+            h, e, s = permute_stream_state(h, e, s,
+                                           jnp.asarray(ch.carry_src))
+        out, h, e, s = sw_scores_stream_carry(
+            qc, ql, m8, jnp.asarray(ch.data), jnp.asarray(ch.start),
+            h, e, s, gapopenextend=12, gapextend=1, interpret=True)
+        if len(ch.seqnos):
+            got[:, ch.seqnos] = np.asarray(
+                gather_scores(out, jnp.asarray(ch.end_block),
+                              jnp.asarray(ch.lane)))
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    assert np.array_equal(got, want)
+
+
+def test_stream_flow_matches_oracle_lax():
+    """Same flow-series walk through the any-backend lax twin (3-D state
+    layout through permute_stream_state)."""
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream_flow
+    from swipe_tpu.ops.sw_stream import (make_stream_state_lax,
+                                         permute_stream_state,
+                                         sw_scores_stream_lax_carry)
+    m62 = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    rng = np.random.default_rng(43)
+    lens = np.concatenate([rng.integers(5, 120, 150), [700, 1100]])
+    rng.shuffle(lens)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
+    q = rng.integers(1, 26, size=48, dtype=np.int8)
+    chunks = pack_stream_flow(seqs, nseqs=1024, max_cols=128,
+                              drain_cols=128)
+    qc, ql = build_qcodes([q], 48)
+    qc, ql = jnp.asarray(qc), jnp.asarray(ql)
+    m8 = jnp.asarray(build_matrix8(m62.matrix))
+    got = np.zeros(len(seqs), dtype=np.int64)
+    h = e = s = None
+    for i, ch in enumerate(chunks):
+        if i == 0:
+            h, e, s = make_stream_state_lax(1, 48, ch.nseqs)
+        else:
+            h, e, s = permute_stream_state(h, e, s,
+                                           jnp.asarray(ch.carry_src))
+        out, h, e, s = sw_scores_stream_lax_carry(
+            qc, ql, m8, jnp.asarray(ch.data), jnp.asarray(ch.start),
+            h, e, s, gapopenextend=12, gapextend=1)
+        if len(ch.seqnos):
+            got[ch.seqnos] = np.asarray(
+                gather_scores(out, jnp.asarray(ch.end_block),
+                              jnp.asarray(ch.lane)))[0]
+    want = sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+    assert np.array_equal(got, want)
