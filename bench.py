@@ -9,13 +9,21 @@ vs_baseline compares against the reference's published aggregate throughput
 (~106 GCUPS on a dual 6-core Xeon X5650; Rognes 2011, cited in
 /root/reference/README:40-41) — the whole-machine number, not per-core.
 
-Methodology notes:
-* a distinct query is dispatched per timed rep (the execution tunnel
-  memoizes identical dispatches, which would make repeats free);
-* dispatch is asynchronous with a ~37 ms host<->device sync round-trip
-  (measured), so all reps are issued back-to-back and synced once, and the
-  measured sync latency of an empty dispatch is subtracted;
-* one untimed warm-up pass per compiled shape precedes timing.
+Methodology notes (the round-3 redesign — see BASELINE.md "variance"):
+* the remote execution tunnel adds a variable per-dispatch cost (measured
+  263.8 / 264.5 / 375.9 GCUPS across three driver-style runs of the old
+  10-dispatches-per-chain bench), so a timed chain is now ONE jitted
+  dispatch: a lax.scan over R distinct queries, each rep running the
+  stream kernel over every db chunk plus the device top-100 — only 100
+  int32 values ever cross the link;
+* the residual fixed cost per chain (the ~40 ms sync round-trip + one
+  dispatch) is cancelled exactly by timing two chain lengths and taking
+  the slope: t_rep = (T_big - T_small) / (R_big - R_small);
+* a distinct query is scanned per rep and a distinct query stack is used
+  per timed call (the tunnel memoizes identical dispatches, which would
+  make repeats free);
+* each chain length is timed three times and the minimum wall is used
+  (tunnel stalls are one-sided noise).
 """
 
 import json
@@ -24,6 +32,10 @@ import time
 import numpy as np
 
 BASELINE_GCUPS = 106.0  # reference machine aggregate (Rognes 2011)
+
+R_SMALL = 5
+R_BIG = 25
+TRIALS = 3
 
 
 def _backend_reachable(timeout: float = 900.0) -> bool:
@@ -63,97 +75,127 @@ def main():
     from swipe_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
 
-    from swipe_tpu.batching import pack_database, pack_stream
+    from swipe_tpu.batching import pack_database
     from swipe_tpu.matrices import ScoreMatrix
     from swipe_tpu.ops.sw_pallas import build_qpt, sw_scores_lax
 
+    from bench_corpus import swissprot_lengths, swissprot_query, swissprot_seqs
+
     rng = np.random.default_rng(0)
     m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
-    lens = np.clip(rng.lognormal(5.8, 0.5, 10_000).astype(int), 20, 3000)
-    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
+    # Swiss-Prot-fitted lengths AND residue composition (bench_corpus):
+    # BASELINE config 1 names Swiss-Prot; composition affects dprofile
+    # statistics, the length tail affects lane occupancy
+    lens = swissprot_lengths(10_000, rng)
+    seqs = swissprot_seqs(10_000, rng, lens)
     qlen = 200
-    reps = 10
-    queries = [rng.integers(1, 26, size=qlen, dtype=np.int8)
-               for _ in range(2 * reps)]
+    nquery = TRIALS * (R_SMALL + R_BIG) + R_BIG   # + one warm-up stack
+    queries = [swissprot_query(qlen, rng) for _ in range(nquery)]
     cells = qlen * int(lens.sum())
 
     on_tpu = jax.default_backend() not in ("cpu",)
 
     if on_tpu:
-        import functools
-
+        from swipe_tpu.batching import pack_stream_flow
         from swipe_tpu.ops.sw_stream import (build_matrix8, build_qcodes,
-                                             gather_scores, sw_scores_stream)
+                                             gather_scores,
+                                             make_stream_state,
+                                             permute_stream_state,
+                                             sw_scores_stream_carry)
         m8 = jnp.asarray(build_matrix8(m.matrix))
-        chunks = pack_stream(seqs, nseqs=2048, max_cols=65536)
+        # FLOW packing: Swiss-Prot's length tail collapses single-chunk
+        # lane packing to ~0.60 occupancy on a 10k-seq database (every
+        # lane pads to the tallest); the flow series cuts sequences at
+        # chunk capacity and carries H/E/S between launches, keeping the
+        # full-width chunks ~99% occupied and draining the tail chains
+        # through short narrow chunks.  max_cols targets the mean lane
+        # load so the full-width chunks stay dense.
+        mean_lane = int(lens.sum()) // 2048
+        mc = max((mean_lane // 2 // 128) * 128, 256)
+        chunks = pack_stream_flow(seqs, nseqs=2048, max_cols=mc,
+                                  drain_cols=128)
         dev = [(jnp.asarray(c.data_t).T, jnp.asarray(c.start),
-                jnp.asarray(c.end_block), jnp.asarray(c.lane))
+                jnp.asarray(c.end_block), jnp.asarray(c.lane),
+                jnp.asarray(c.carry_src), c.nseqs, len(c.seqnos))
                for c in chunks]
-        qcs = [tuple(map(jnp.asarray, build_qcodes([q], 256)))
-               for q in queries]
+        qlen_pad = 256
+        qstacks = [tuple(map(jnp.asarray, build_qcodes([q], qlen_pad)))
+                   for q in queries]
 
-        # the whole rep (kernel over every chunk + score gather) is ONE
-        # jitted computation: each extra dispatch pays tunnel latency
-        @functools.partial(jax.jit, static_argnums=())
-        def run(qc):
-            parts = [gather_scores(
-                sw_scores_stream(qc[0], qc[1], m8, d, st,
-                                 gapopenextend=12, gapextend=1), eb, ln)
-                for d, st, eb, ln in dev]
-            return jnp.concatenate(parts, axis=1)
+        def rep_scores(qc, ql):
+            parts = []
+            h = e = s = None
+            for i, (d, st, eb, ln, src, w, nend) in enumerate(dev):
+                if i == 0:
+                    h, e, s = make_stream_state(1, qlen_pad, w)
+                else:
+                    h, e, s = permute_stream_state(h, e, s, src)
+                out, h, e, s = sw_scores_stream_carry(
+                    qc, ql, m8, d, st, h, e, s,
+                    gapopenextend=12, gapextend=1)
+                if nend:
+                    parts.append(gather_scores(out, eb, ln))
+            return jnp.concatenate(parts, axis=1).reshape(-1)
     else:
         chunks = pack_database(seqs, nseqs=512)
         dev = [(jnp.asarray(c.data), jnp.asarray(c.seg_ids),
                 c.seqnos.shape[0]) for c in chunks]
-        qpts = [jnp.asarray(build_qpt([q], m.matrix, 256)) for q in queries]
-        qcs = qpts
+        qstacks = [(jnp.asarray(build_qpt([q], m.matrix, 256)),
+                    jnp.zeros((1,), jnp.int32)) for q in queries]
 
-        def run(qp):
+        def rep_scores(qp, _):
             return jnp.concatenate(
                 [sw_scores_lax(qp, d, s, nsegs=n, gapopenextend=12,
                                gapextend=1).reshape(1, -1)
-                 for d, s, n in dev], axis=1)
+                 for d, s, n in dev], axis=1).reshape(-1)
 
-    # measure the empty-dispatch sync latency to subtract
-    tiny = jax.jit(lambda a: a + 1)
-    np.asarray(tiny(jnp.zeros((8, 128), jnp.int32)))
-    t0 = time.time()
-    np.asarray(tiny(jnp.ones((8, 128), jnp.int32)))
-    sync_lat = time.time() - t0
+    # one timed chain = ONE dispatch: scan over R distinct queries, top-100
+    # per rep on device, one final top-100 — 100 values cross the link
+    @jax.jit
+    def chain(qcs, qls):
+        def body(_, xs):
+            qc, ql = xs
+            return 0, jax.lax.top_k(rep_scores(qc, ql), 100)[0]
+        _, tops = jax.lax.scan(body, 0, (qcs, qls))
+        return jax.lax.top_k(tops.reshape(-1), 100)[0]
 
-    topk = jax.jit(lambda flat: jax.lax.top_k(flat, 100)[0])
-
-    def one_pass(qlist):
-        # top-100 selection on device; only 100 values cross the host link
-        # (the tunnel moves bulk data at ~16 MB/s, so transferring all
-        # scores would dominate the measurement — and a real deployment
-        # does the top-k on device anyway)
-        outs = [run(q) for q in qlist]
-        return np.asarray(topk(jnp.concatenate(outs).reshape(-1)))
+    def stack(qlist):
+        return (jnp.stack([q[0] for q in qlist]),
+                jnp.stack([q[1] for q in qlist]))
 
     # force the query uploads onto the device before timing
-    for qc in qcs:
+    for qc in qstacks:
         jax.block_until_ready(qc)
 
-    # warm-up: compile + first-dispatch effects for the WHOLE timed path
-    one_pass(qcs[reps:2 * reps])
+    # warm-up compiles + first-dispatch effects for BOTH chain shapes
+    np.asarray(chain(*stack(qstacks[:R_SMALL])))
+    top = np.asarray(chain(*stack(qstacks[-R_BIG:])))
+    assert top[-1] > 0, "top-100 scores must all be positive"
 
-    # three timed chains; report the best (the tunnel to the chip adds
-    # sporadic multi-ms stalls that are not kernel time)
-    dt = float("inf")
-    for chain in (qcs[:reps], qcs[reps:2 * reps], qcs[:reps]):
-        t0 = time.time()
-        flat = one_pass(chain)
-        dt = min(dt, max(time.time() - t0 - sync_lat, 1e-9) / reps)
-    top = np.sort(flat)[::-1][:100]
-    assert top[-1] > 0
+    # slope timing: walls for two chain lengths; the fixed per-dispatch +
+    # sync cost cancels in the difference.  Distinct query stacks per
+    # trial; minimum wall per length (tunnel stalls are one-sided noise).
+    walls = {R_SMALL: [], R_BIG: []}
+    pos = 0
+    for _ in range(TRIALS):
+        for r in (R_SMALL, R_BIG):
+            qs = stack(qstacks[pos:pos + r])
+            pos += r
+            t0 = time.time()
+            np.asarray(chain(*qs))
+            walls[r].append(time.time() - t0)
+    t_rep = (min(walls[R_BIG]) - min(walls[R_SMALL])) / (R_BIG - R_SMALL)
+    t_rep = max(t_rep, 1e-9)
 
-    gcups = cells / dt / 1e9
+    gcups = cells / t_rep / 1e9
+    occupancy = int(lens.sum()) / sum(
+        int(np.asarray(c[0] if on_tpu else c[0]).size) for c in dev)
     print(json.dumps({
         "metric": "GCUPS_1chip_blastp_10kseq",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+        "occupancy": round(occupancy, 4),
     }))
 
 

@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+from bench_corpus import swissprot_fasta, swissprot_letters
+
 AA = "ARNDCQEGHILKMFPSTWYV"
 NT = "ACGT"
 
@@ -33,9 +35,10 @@ def config2():
     from swipe_tpu.pipeline import SearchEngine, SearchParams, SearchTimings
 
     rng = np.random.default_rng(0)
-    db = FastaDatabase(io.StringIO(_fasta(rng, 10_000, 120, 700, AA)), "aa",
+    # Swiss-Prot composition + length model (bench_corpus)
+    db = FastaDatabase(io.StringIO(swissprot_fasta(10_000, rng)), "aa",
                        title="cfg2")
-    q = preprocess_query("q cfg2", "".join(rng.choice(list(AA), 200)), 1, 3)
+    q = preprocess_query("q cfg2", swissprot_letters(200, rng), 1, 3)
     eng = SearchEngine(db, SearchParams(symtype=1, gapopen=11, gapextend=1,
                                         alignments=100))
     eng.search(q)                       # warm-up/compile
@@ -79,10 +82,11 @@ def config4(full: bool):
 
     nq, ndb = (100, 570_000) if full else (16, 120_000)
     rng = np.random.default_rng(2)
-    db = FastaDatabase(io.StringIO(_fasta(rng, ndb, 120, 700, AA)), "aa",
+    # Swiss-Prot composition + length model (bench_corpus)
+    db = FastaDatabase(io.StringIO(swissprot_fasta(ndb, rng)), "aa",
                        title="cfg4")
-    queries = [preprocess_query(f"q{i}", "".join(rng.choice(list(AA), 200)),
-                                1, 3) for i in range(nq)]
+    queries = [preprocess_query(f"q{i}", swissprot_letters(200, rng), 1, 3)
+               for i in range(nq)]
     eng = SearchEngine(db, SearchParams(symtype=1, gapopen=11, gapextend=1,
                                         alignments=0, descriptions=100))
     eng.search_batch(queries[:16])      # warm-up/compile (same slot-group size)
