@@ -152,6 +152,65 @@ def measure_stream(qlen, nseqs=2048, reps_small=2, reps_big=8, seed=0):
     return true_cells / sec_per_rep, true_cells, padded_cells, nblocks, walls
 
 
+def measure_batch(qlen=200, nq=16, qgroup=2, nseqs=2048, seed=1):
+    """Batch-throughput probe: nq queries through sw_scores_stream with a
+    given qgroup (even qgroups interleave member pairs in the row loop).
+    Returns true cells/s across the batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream
+    from swipe_tpu.matrices import ScoreMatrix
+    from swipe_tpu.ops import sw_stream
+    from swipe_tpu.ops.sw_stream import (build_matrix8, build_qcodes,
+                                         gather_scores, sw_scores_stream)
+
+    rng = np.random.default_rng(seed)
+    m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    lens = np.clip(rng.lognormal(5.8, 0.5, 10_000).astype(int), 20, 1800)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
+    chunks = pack_stream(seqs, nseqs=nseqs, max_cols=65536,
+                         block=sw_stream.KSEG)
+    dev = [(jnp.asarray(c.data_t).T, jnp.asarray(c.start),
+            jnp.asarray(c.end_block), jnp.asarray(c.lane))
+           for c in chunks]
+    m8 = jnp.asarray(build_matrix8(m.matrix))
+    qlen_pad = -(-qlen // 128) * 128
+    nbatches = 24
+    batches = []
+    for _ in range(nbatches):
+        qs = [rng.integers(1, 26, size=qlen, dtype=np.int8)
+              for _ in range(nq)]
+        batches.append(tuple(map(jnp.asarray, build_qcodes(qs, qlen_pad))))
+
+    @jax.jit
+    def chain(qcs, qls):
+        def body(_, xs):
+            qc, ql = xs
+            parts = [gather_scores(
+                sw_scores_stream(qc, ql, m8, d, st, gapopenextend=12,
+                                 gapextend=1, qgroup=qgroup), eb, ln)
+                for d, st, eb, ln in dev]
+            return 0, jax.lax.top_k(
+                jnp.concatenate(parts, axis=1).reshape(-1), 8)[0]
+        _, tops = jax.lax.scan(body, 0, (qcs, qls))
+        return tops
+
+    def stack(bs):
+        return (jnp.stack([b[0] for b in bs]), jnp.stack([b[1] for b in bs]))
+
+    pos = [0]
+
+    def fn(reps):
+        sel = batches[pos[0] % (nbatches - reps):][:reps]
+        pos[0] += reps
+        np.asarray(chain(*stack(sel)))
+
+    sec_per_rep, walls = slope_time(fn, 2, 8)
+    cells = nq * qlen * int(lens.sum())
+    return cells / sec_per_rep, walls
+
+
 def main():
     quick = "--quick" in sys.argv
     from swipe_tpu.cli import _enable_compile_cache
@@ -182,6 +241,18 @@ def main():
           f"(2-chain rate): {ceiling/1e9:.1f} Gcells/s")
 
     if "--vpu-only" in sys.argv:
+        return
+    if "--batch" in sys.argv:
+        for qg in (1, 2):
+            try:
+                rate, walls = measure_batch(qgroup=qg)
+                print(f"batch nq=16 qlen=200 qgroup={qg} "
+                      f"(interleave {2 if qg % 2 == 0 else 1}): "
+                      f"{rate/1e9:7.1f} GCUPS "
+                      f"walls {['%.4f' % w for w in walls[8]]}")
+            except Exception as exc:
+                print(f"batch qgroup={qg}: FAILED {type(exc).__name__}: "
+                      f"{str(exc)[:200]}")
         return
     for qlen in ([200] if quick else [200, 104, 384]):
         rate, tc, pc, nblocks, walls = measure_stream(qlen)
