@@ -264,41 +264,36 @@ class HitList:
                 hint = (score, bestq, bestpos)
         self._align_hit(h, query, matrix, gapopen, gapextend, hint)
 
-    def align_all(self, query, matrix: np.ndarray, gapopen: int,
-                  gapextend: int, scorelimit_16: int = 1 << 62,
-                  threads: int = 1) -> None:
-        """Fetch headers for all kept hits; align those that are shown.
-
-        The align phase mirrors the reference's structure (align_threads,
-        swipe.cc:527-647): the hint pass runs VECTORIZED across all shown
-        hits of a (qstrand, qframe) bin (ops.align_hint.hint_endpoints_many
-        — the kernel-batched analog of search16s over a bin), and the
-        gapped tracebacks fan out over ``threads`` workers (the -a flag;
-        the native aligner releases the GIL during the C call).
-        """
-        from .ops.align_hint import hint_endpoints_many
-
+    def align_prepare(self, query, scorelimit_16: int = 1 << 62):
+        """Phase 1 of the align phase: fetch headers/sequences for every
+        kept hit and bin the shown hits needing an endpoint hint by
+        (qstrand, qframe) — the reference's align_threads_init binning
+        (swipe.cc:527-577).  Returns (shown, bins) where bins is a list
+        of (qseq, [(i, hit)]); a multi-query batch concatenates all
+        lists' bins into ONE device hint dispatch
+        (ops.align_hint.hint_endpoints_grid)."""
         shown = []
         for i, h in enumerate(self.hits):
             self._fetch_hit(i, h)
             if i < self.opt_alignments:
                 shown.append((i, h))
-
-        # batched hint pass per (qstrand, qframe) bin
-        hints: dict[int, tuple[int, int, int]] = {}
+        bins = []
         if self._hintable:
-            bins: dict[tuple[int, int], list] = {}
+            groups: dict[tuple[int, int], list] = {}
             for i, h in shown:
                 if h.score < scorelimit_16:
-                    bins.setdefault((h.qstrand, h.qframe), []).append((i, h))
-            for (qs, qf), items in bins.items():
-                res = hint_endpoints_many(
-                    self._qseq(query, qs, qf), [h.dseq for _, h in items],
-                    matrix, gapopen, gapextend)
-                for (i, h), (score, bestq, bestpos) in zip(items, res):
-                    if bestq > 0 and bestpos:
-                        hints[i] = (score, bestq, bestpos)
+                    groups.setdefault((h.qstrand, h.qframe),
+                                      []).append((i, h))
+            for (qs, qf), items in groups.items():
+                bins.append((self._qseq(query, qs, qf), items))
+        return shown, bins
 
+    def align_finish(self, query, matrix: np.ndarray, gapopen: int,
+                     gapextend: int, shown, hints,
+                     threads: int = 1) -> None:
+        """Phase 2: run the gapped tracebacks over ``threads`` workers
+        (the -a flag; the native aligner releases the GIL during the C
+        call), applying the precomputed endpoint hints."""
         def work(item):
             i, h = item
             self._align_hit(h, query, matrix, gapopen, gapextend,
@@ -311,3 +306,30 @@ class HitList:
         else:
             for item in shown:
                 work(item)
+
+    def align_all(self, query, matrix: np.ndarray, gapopen: int,
+                  gapextend: int, scorelimit_16: int = 1 << 62,
+                  threads: int = 1) -> None:
+        """Fetch headers for all kept hits; align those that are shown.
+
+        The align phase mirrors the reference's structure (align_threads,
+        swipe.cc:527-647): the hint pass runs VECTORIZED across all shown
+        hits of a (qstrand, qframe) bin (ops.align_hint.hint_endpoints_many
+        — the kernel-batched analog of search16s over a bin), and the
+        gapped tracebacks fan out over ``threads`` workers.  Single-list
+        convenience over align_prepare/align_finish; batch callers hoist
+        the hint pass across lists (pipeline.SearchEngine.search_batch).
+        """
+        from .ops.align_hint import hint_endpoints_many
+
+        shown, bins = self.align_prepare(query, scorelimit_16)
+        hints: dict[int, tuple[int, int, int]] = {}
+        for qseq, items in bins:
+            res = hint_endpoints_many(
+                qseq, [h.dseq for _, h in items],
+                matrix, gapopen, gapextend)
+            for (i, h), (score, bestq, bestpos) in zip(items, res):
+                if bestq > 0 and bestpos:
+                    hints[i] = (score, bestq, bestpos)
+        self.align_finish(query, matrix, gapopen, gapextend, shown, hints,
+                          threads)

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hint_endpoint", "hint_endpoints_many"]
+__all__ = ["hint_endpoint", "hint_endpoints_many", "hint_endpoints_grid"]
 
 NEG = -(1 << 40)
 
@@ -176,6 +176,116 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
             best[i] = (s, bq, pos + bp) if bq >= 0 else (s, bq, bp)
     for i in giants:
         results[i] = best[i]
+    return results
+
+
+# sub-batch footprint cap for the grid pass: bins x len_pad x lanes int8
+_GRID_BYTES = 256 << 20
+# test/observability knobs: force the kernel route off-accelerator (with
+# interpret) and count device dispatches (the batch-align contract: O(1)
+# dispatches per query batch, not one per (query, bin))
+GRID_FORCE_DEVICE = False
+GRID_INTERPRET = False
+GRID_DISPATCHES = 0
+
+
+def hint_endpoints_grid(jobs, matrix, gapopen: int, gapextend: int,
+                        force_device: bool = False,
+                        interpret: bool = False):
+    """hint_endpoints_many for MANY (query, subject-list) bins at once.
+
+    ``jobs`` is a list of (qseq, dseqs) — one bin per (query, qstrand,
+    qframe) of an align phase.  A multi-query batch align phase has
+    O(queries x frames) bins; dispatching each separately pays the
+    remote tunnel's per-dispatch latency (the reference instead runs
+    search16s per thread over its bin, swipe.cc:339-414).  Here every
+    int8-eligible bin rides the hint kernel's QUERY GRID AXIS
+    (ops.sw_stream.sw_hint_stream): bins are sorted by subject length,
+    grouped under a footprint cap, and each group runs as ONE dispatch.
+    Ineligible bins (segmented giants, non-int8 matrices, >1024
+    subjects, CPU backend) fall back to hint_endpoints_many per bin.
+
+    Returns a list of per-bin result lists, aligned with ``jobs``.
+    """
+    results: list = [None] * len(jobs)
+    if not jobs:
+        return results
+    mat = np.asarray(matrix, dtype=np.int64).reshape(32, 32)
+    Q, R = gapopen + gapextend, gapextend
+    force_device = force_device or GRID_FORCE_DEVICE
+    interpret = interpret or GRID_INTERPRET
+    on_dev = force_device
+    if not on_dev:
+        try:
+            import jax
+            on_dev = jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_dev = False
+    batch = []
+    total_cells = 0
+    for bi, (q, dseqs) in enumerate(jobs):
+        lens = [len(d) for d in dseqs]
+        if (on_dev and mat.min() >= -128 and mat.max() <= 127
+                and 0 < len(q) <= 1024 and dseqs
+                and 0 < len(dseqs) <= 1024
+                and max(lens) <= GIANT_HINT_MIN):
+            batch.append((bi, max(lens)))
+            total_cells += len(q) * sum(lens)
+        else:
+            results[bi] = hint_endpoints_many(np.asarray(q), dseqs,
+                                              matrix, gapopen, gapextend)
+    if not batch:
+        return results
+    if not force_device and total_cells <= DEVICE_CELLS \
+            and len(batch) <= 4:
+        # a couple of small bins: dispatch latency would dominate
+        for bi, _ in batch:
+            q, dseqs = jobs[bi]
+            results[bi] = hint_endpoints_many(np.asarray(q), dseqs,
+                                              matrix, gapopen, gapextend)
+        return results
+
+    import jax.numpy as jnp
+
+    from .sw_pallas import PAD_SYMBOL
+    from .sw_stream import build_matrix8, build_qcodes, sw_hint_stream
+
+    m8 = jnp.asarray(build_matrix8(mat))
+    # sort by subject length so same-scale bins share a sub-batch
+    batch.sort(key=lambda t: t[1])
+    i = 0
+    while i < len(batch):
+        group = [batch[i]]
+        len_pad = -(-batch[i][1] // 2048) * 2048
+        i += 1
+        while i < len(batch):
+            lp = -(-batch[i][1] // 2048) * 2048
+            if lp * 1024 * (len(group) + 1) > _GRID_BYTES:
+                break
+            len_pad = lp
+            group.append(batch[i])
+            i += 1
+        qlen_pad = max(128, -(-max(len(jobs[bi][0])
+                                   for bi, _ in group) // 128) * 128)
+        nb = len(group)
+        qc, ql = build_qcodes(
+            [np.asarray(jobs[bi][0]) for bi, _ in group], qlen_pad)
+        dense = np.full((nb, len_pad, 1024), PAD_SYMBOL, dtype=np.int8)
+        for gi, (bi, _) in enumerate(group):
+            for j, d in enumerate(jobs[bi][1]):
+                dense[gi, : len(d), j] = np.asarray(d, dtype=np.int8)
+        starts = np.zeros((nb, 1024), dtype=np.int32)
+        global GRID_DISPATCHES
+        GRID_DISPATCHES += 1
+        S, bq, bp = sw_hint_stream(
+            jnp.asarray(qc), jnp.asarray(ql), m8, jnp.asarray(dense),
+            jnp.asarray(starts), gapopenextend=int(Q), gapextend=int(R),
+            interpret=interpret)
+        S, bq, bp = np.asarray(S), np.asarray(bq), np.asarray(bp)
+        for gi, (bi, _) in enumerate(group):
+            n = len(jobs[bi][1])
+            results[bi] = [(int(S[gi, j]), int(bq[gi, j]), int(bp[gi, j]))
+                           for j in range(n)]
     return results
 
 

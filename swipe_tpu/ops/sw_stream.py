@@ -107,11 +107,14 @@ def build_qcodes(queries: list[np.ndarray], qlen_pad: int
     return qc, ql
 
 
-def _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref):
+def _build_dprofile(m8_ref, db_ref, dprof_ref):
     """Block score profile via a one-hot int8 MXU matmul — the TPU
     equivalent of the reference's dprofile_fill7/shuffle7 builders
-    (search7.cc:50-51, 185-186).  The one-hot stages through int8 VMEM
-    scratch (measured ~20% faster than feeding dot_general directly).
+    (search7.cc:50-51, 185-186).  The one-hot feeds dot_general
+    directly: staging it through an int8 VMEM scratch was slightly
+    faster per block, but the scratch's 1 MB is what lets PAIRED
+    members at qlen_pad 256 (the config-4 shape) fit the 16 MB budget
+    — worth far more (+28% measured from pairing).
 
     dprof_ref keeps the matmul's own [32, KSEG*SUB, NL] shape — column
     j's (SUB, NL) plane is the static sublane slice j*SUB:(j+1)*SUB —
@@ -125,9 +128,9 @@ def _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref):
     is not worth it."""
     sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
     dblk = db_ref[...].astype(jnp.int32)                # [KSEG*SUB, NL]
-    oh_ref[...] = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
+    oh = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
     dprof_ref[...] = jax.lax.dot_general(
-        m8_ref[...], oh_ref[...],
+        m8_ref[...], oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
@@ -252,7 +255,7 @@ def _make_row_body(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
 
 def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
                            out_ref, hst_ref, est_ref, hrow_ref, frow_ref,
-                           s_ref, oh_ref, dprof_ref, *,
+                           s_ref, dprof_ref, *,
                            Q: int, R: int, clamp: int | None,
                            qgroup: int, qlen_pad: int, minter: int):
     """One (query-group, db-block, member-tuple) grid step.
@@ -289,7 +292,7 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
     # ---- dprofile: built once per (group, block), reused by members ---------
     @pl.when(qp == 0)
     def _dprofile():
-        _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
+        _build_dprofile(m8_ref, db_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
@@ -325,8 +328,7 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     out_ref:   [1, 1, SUB, NL] int32 — per-lane running max after this block
     hst/est:   [QLEN, SUB, NL] int32 — H/E at the last processed column
     hrow/frow: [KSEG, SUB, NL] int32 — previous query row's H/F per column
-    oh_ref:    [32, KSEG*SUB, NL] int8 one-hot scratch
-    dprof_ref: [32, KSEG, SUB, NL] int32 block score profile
+    dprof_ref: [32, KSEG*SUB, NL] int32 block score profile
 
     The per-lane DP state (H/E per query row + running S) enters and
     leaves through HBM instead of being zero-initialized: at block 0 it
@@ -338,7 +340,7 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     """
     (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
      hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-     oh_ref, dprof_ref, dma_sem) = rest
+     dprof_ref, dma_sem) = rest
     qi = pl.program_id(0)
     b = pl.program_id(1)
     nl = db_ref.shape[1]
@@ -357,7 +359,7 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
             cp.wait()
 
     # ---- dprofile: one-hot matmul on the MXU --------------------------------
-    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
+    _build_dprofile(m8_ref, db_ref, dprof_ref)
 
     # ---- lane refill: reset state where a new sequence starts ---------------
     reset = start_ref[0] != 0                               # [SUB, NL] bool
@@ -496,7 +498,6 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((qgroup, SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
         ],
     )
@@ -622,7 +623,6 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -687,7 +687,7 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
                  s_out, bq_out, bp_out,
                  hst_ref, est_ref, hrow_ref, frow_ref,
                  cm_ref, ra_ref, s_ref, bq_ref, bp_ref,
-                 oh_ref, dprof_ref, *, Q: int, R: int):
+                 dprof_ref, *, Q: int, R: int):
     """One db-block step of the endpoint-hint kernel (search16s analog).
 
     Same DP recurrence as _stream_kernel over one query and one sequence
@@ -708,8 +708,9 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
     bounded by an earlier H minus a positive gap penalty (or 0), so the
     strict colmax > S test can never fire.
     """
-    b = pl.program_id(0)
-    nl = db_ref.shape[1]
+    qi = pl.program_id(0)
+    b = pl.program_id(1)
+    nl = db_ref.shape[2]
 
     @pl.when(b == 0)
     def _init():
@@ -719,14 +720,14 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
         bq_ref[...] = jnp.full_like(bq_ref, -1)
         bp_ref[...] = jnp.zeros_like(bp_ref)
 
-    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
+    _build_dprofile(m8_ref, db_ref.at[0], dprof_ref)
 
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
     frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
     cm_ref[...] = jnp.zeros_like(cm_ref)
     ra_ref[...] = jnp.zeros_like(ra_ref)
 
-    qlen = ql_ref[0]
+    qlen = ql_ref[qi]
 
     def hint_cell(h, rbase, k, j, acc):
         # rows past qlen (the RU round-up overhang) must not win the
@@ -740,23 +741,23 @@ def _hint_kernel(qc_ref, ql_ref, m8_ref, db_ref, st_ref,
 
     row_body = _make_row_body(
         qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
-        qi=0, qoff=0, soff=0, reset=None, Q=Q, R=R, cell=hint_cell)
+        qi=qi, qoff=0, soff=0, reset=None, Q=Q, R=R, cell=hint_cell)
     nrb = (qlen + RU - 1) // RU
     jax.lax.fori_loop(0, nrb, row_body,
                       (jnp.zeros((SUB, nl), jnp.int32), jnp.int32(0)))
 
     for j in range(KSEG):
         improve = ((cm_ref[j] > s_ref[...])
-                   & (b * KSEG + j >= st_ref[...]))
+                   & (b * KSEG + j >= st_ref[0]))
         s_ref[...] = jnp.where(improve, cm_ref[j], s_ref[...])
         bp_ref[...] = jnp.where(improve, b * KSEG + j, bp_ref[...])
         bq_ref[...] = jnp.where(improve, ra_ref[j], bq_ref[...])
 
-    @pl.when(b == pl.num_programs(0) - 1)
+    @pl.when(b == pl.num_programs(1) - 1)
     def _emit():
-        s_out[...] = s_ref[...]
-        bq_out[...] = bq_ref[...]
-        bp_out[...] = bp_ref[...]
+        s_out[0] = s_ref[...]
+        bq_out[0] = bq_ref[...]
+        bp_out[0] = bp_ref[...]
 
 
 @functools.partial(
@@ -767,23 +768,31 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
                    db: jax.Array, starts: jax.Array, *,
                    gapopenextend: int, gapextend: int,
                    interpret: bool = False):
-    """Endpoint hints for ONE query vs one db sequence per lane.
+    """Endpoint hints for a BATCH of queries, each vs its own lane pack.
 
-    qcodes: [1, QLEN] int32 (build_qcodes), qlens: [1] int32,
-    matrix8: [32, 32] int8, db: [L, NSEQS] int8 — sequence i in lane i,
-    PAD_SYMBOL padded (no refill; one sequence per lane); starts:
-    [NSEQS] int32 per-lane first-tracked column (all zeros for whole
-    sequences; the owned-column offset for segmented giant subjects).
-    Returns (S, bestq, bestpos), each [NSEQS] int32, with search16s tie
-    semantics: bestpos = first db column attaining the final maximum,
-    bestq = smallest query row attaining it there; bestq = -1 when the
-    lane never scores above 0.  Runs the align phase's hint pass at
-    stream-kernel speed instead of the lax scan's cummax-bound rate.
+    qcodes: [NQ, QLEN] int32 (build_qcodes), qlens: [NQ] int32,
+    matrix8: [32, 32] int8, db: [NQ, L, NSEQS] int8 — query q's subject
+    i in lane (q, i), PAD_SYMBOL padded (no refill; one sequence per
+    lane); a 2-D [L, NSEQS] db is accepted for NQ == 1.  starts:
+    [NQ, NSEQS] (or [NSEQS] for NQ == 1) int32 per-lane first-tracked
+    column (zeros for whole sequences; the owned-column offset for
+    segmented giant subjects).  Returns (S, bestq, bestpos), each
+    [NQ, NSEQS] int32 (squeezed to [NSEQS] for 2-D input), with
+    search16s tie semantics: bestpos = first db column attaining the
+    final maximum, bestq = smallest query row attaining it there;
+    bestq = -1 when the lane never scores above 0.  The query grid axis
+    lets a whole align phase (all queries x all bins) run in O(1)
+    dispatches instead of one per (query, bin) — each dispatch pays the
+    remote tunnel's latency (align_hint.hint_endpoints_grid).
     """
+    squeeze = db.ndim == 2
+    if squeeze:
+        db = db[None]
+        starts = starts[None]
     nq, qlen_pad = qcodes.shape
-    L, nseqs = db.shape
-    if nq != 1:
-        raise ValueError("sw_hint_stream scores one query at a time")
+    nqd, L, nseqs = db.shape
+    if nqd != nq:
+        raise ValueError(f"db batch {nqd} != query batch {nq}")
     if L % KSEG:
         raise ValueError(f"db length {L} not a multiple of {KSEG}")
     if nseqs % (SUB * 128):
@@ -792,28 +801,28 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
         raise ValueError(f"qlen_pad {qlen_pad} not a multiple of RU={RU}")
     nl = nseqs // SUB
     nblocks = L // KSEG
-    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
-    st2 = starts.astype(jnp.int32).reshape(SUB, nl)
+    db8 = db.reshape(nq, L, SUB, nl).reshape(nq, L * SUB, nl)
+    st2 = starts.astype(jnp.int32).reshape(nq, SUB, nl)
 
     kernel = functools.partial(_hint_kernel, Q=gapopenextend, R=gapextend)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nblocks,),
+        grid=(nq, nblocks),
         in_specs=[
-            pl.BlockSpec((32, 32), lambda b, *_: (0, 0),
+            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((KSEG * SUB, nl), lambda b, *_: (b, 0),
+            pl.BlockSpec((1, KSEG * SUB, nl), lambda q, b, *_: (q, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((SUB, nl), lambda b, *_: (0, 0),
+            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -826,7 +835,6 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
         ],
     )
@@ -834,16 +842,21 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((SUB, nl), jnp.int32),
-            jax.ShapeDtypeStruct((SUB, nl), jnp.int32),
-            jax.ShapeDtypeStruct((SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(qcodes, qlens, matrix8, db8, st2)
-    return s.reshape(nseqs), bq.reshape(nseqs), bp.reshape(nseqs)
+    s = s.reshape(nq, nseqs)
+    bq = bq.reshape(nq, nseqs)
+    bp = bp.reshape(nq, nseqs)
+    if squeeze:
+        return s[0], bq[0], bp[0]
+    return s, bq, bp
 
 
 def _stream_lax_core(qcodes, qlens, matrix, db, start, h0, e0, s0, *,
@@ -957,7 +970,7 @@ def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,
                         bh_ref, bf_ref, sp_ref,
                         out_ref, bho_ref, bfo_ref,
                         hst_ref, est_ref, hrow_ref, frow_ref, s_ref, bh0_ref,
-                        oh_ref, dprof_ref, *,
+                        dprof_ref, *,
                         Q: int, R: int, tile_rows: int, clamp: int | None):
     """One (query, db-block) step of one query-tile pass (long queries).
 
@@ -980,7 +993,7 @@ def _stream_tile_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref, start_ref,
         s_ref[...] = jnp.zeros_like(s_ref)
         bh0_ref[...] = jnp.zeros_like(bh0_ref)
 
-    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
+    _build_dprofile(m8_ref, db_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     # the tile-top boundary replaces the zero/NEG_INF row-state init of the
@@ -1070,7 +1083,6 @@ def _stream_tile_pass(qcodes, qlens, tile, matrix8, db8, start32, bh, bf,
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
         ],
     )
@@ -1095,7 +1107,7 @@ def _stream_tile_carry_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref,
                               out_ref, bho_ref, bfo_ref,
                               hout_ref, eout_ref, bh0o_ref,
                               hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-                              bh0_ref, bhl_ref, oh_ref, dprof_ref, dma_sem,
+                              bh0_ref, bhl_ref, dprof_ref, dma_sem,
                               *, Q: int, R: int, tile_rows: int,
                               clamp: int | None):
     """One (query, db-block) step of one tile pass of the CARRY series
@@ -1136,7 +1148,7 @@ def _stream_tile_carry_kernel(qc_ref, ql_ref, tile_ref, m8_ref, db_ref,
         cp.start()
         cp.wait()
 
-    _build_dprofile(m8_ref, db_ref, oh_ref, dprof_ref)
+    _build_dprofile(m8_ref, db_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     for j in range(KSEG):
@@ -1236,7 +1248,6 @@ def _stream_tile_carry_pass(qcodes, qlens, tile, matrix8, db8, start32,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int8),
             pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
             pltpu.SemaphoreType.DMA((3,)),
         ],

@@ -132,10 +132,10 @@ def _pick_stream_mode(use_pallas: bool, lpd: int, qlen_pad: int
     Queries beyond one VMEM tile take the query-tiled variant (HBM
     boundary planes), mirroring the single-host STREAM_CONFIGS ladder —
     the plain kernel's per-row scratch would blow the 16 MB VMEM budget
-    (row caps: 384 at 2048 lanes/device, 1024 at 1024)."""
+    (row caps: 512 at 2048 lanes/device, 1024 at 1024)."""
     if not use_pallas:
         return "lax", qlen_pad
-    cap = 384 if lpd == 2048 else 1024
+    cap = 512 if lpd == 2048 else 1024
     if qlen_pad <= cap:
         return "stream", qlen_pad
     return "stream_long", -(-qlen_pad // 512) * 512

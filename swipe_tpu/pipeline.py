@@ -248,14 +248,16 @@ class SearchEngine:
             max_cols = 65536 if stream else 16384
         self._pack(nseqs, max_cols)
 
-    # stream-kernel configs: (lanes, longest query the VMEM state allows).
-    # Wider lane counts are faster (measured v5e: 2048 lanes ~1.8x 1024 —
-    # 2 vregs per op gives the VPU instruction-level parallelism) but the
-    # O(qlen) H/E state shrinks the supported query length; longer queries
-    # fall back to the segmented lax path (still exact).
-    # caps leave ~3MB of the 16MB VMEM for the pallas pipeline's
-    # double-buffered input/output blocks (measured OOM at (2048, 512))
-    STREAM_CONFIGS = ((2048, 384), (1024, 1024))
+    # stream-kernel configs: (lanes, row budget of the co-resident H/E
+    # state).  Wider lane counts are faster (measured v5e: 2048 lanes
+    # ~1.8x 1024 — 2 vregs per op gives the VPU chain-level parallelism)
+    # but the O(qlen) state shrinks the supported query length; longer
+    # queries fall back to the query-tiled path (still exact).  The 512
+    # cap at 2048 lanes became possible in round 3 by inlining the
+    # dprofile one-hot (no 1 MB scratch) — it is what lets TWO 256-row
+    # members pair per grid step (member interleaving, +16% measured;
+    # see ops/sw_stream._make_row_body_multi).
+    STREAM_CONFIGS = ((2048, 512), (1024, 1024))
 
     @staticmethod
     def _resolve_backend(backend: str) -> str:
@@ -509,12 +511,35 @@ class SearchEngine:
                 timings.end_batch(self.db.symcount_masked(), queries,
                                   p.symtype, p.querystrands)
 
+        # align phase: the hint pass is hoisted ACROSS the whole batch —
+        # all (query, qstrand, qframe) bins ride one grid dispatch set
+        # (ops.align_hint.hint_endpoints_grid; a per-bin dispatch would
+        # pay the remote tunnel's latency queries x frames times; the
+        # reference's per-thread search16s never paid a per-bin cost,
+        # swipe.cc:339-414)
+        from .ops.align_hint import hint_endpoints_grid
+        prepared = []
+        jobs = []
         for query, hits in zip(queries, hitlists):
             hits.finalize()
-            hits.align_all(query, self.matrix.matrix, p.gapopen,
-                           p.gapextend,
-                           scorelimit_16=self.matrix.scorelimit_16,
-                           threads=p.threads)
+            shown, bins = hits.align_prepare(
+                query, self.matrix.scorelimit_16)
+            prepared.append((query, hits, shown, bins))
+            for qseq, items in bins:
+                jobs.append((qseq, [h.dseq for _, h in items]))
+        res = hint_endpoints_grid(jobs, self.matrix.matrix, p.gapopen,
+                                  p.gapextend)
+        k = 0
+        for query, hits, shown, bins in prepared:
+            hints: dict[int, tuple[int, int, int]] = {}
+            for qseq, items in bins:
+                for (i, h), (score, bestq, bestpos) in zip(items, res[k]):
+                    if bestq > 0 and bestpos:
+                        hints[i] = (score, bestq, bestpos)
+                k += 1
+            hits.align_finish(query, self.matrix.matrix, p.gapopen,
+                              p.gapextend, shown, hints,
+                              threads=p.threads)
         return hitlists
 
     def _count_tiers(self, timings: SearchTimings | None, scores, nq: int
@@ -673,6 +698,11 @@ class SearchEngine:
             # bound by the PADDED count so a padded tail group keeps the
             # main groups' kernel shape
             qgroup = min(max(cap // qlen_pad, 1), nslots_pad)
+            # even qgroups run members pairwise-interleaved (+16-28%
+            # measured); an odd third member would cost that for one
+            # extra dprofile share
+            if qgroup >= 2:
+                qgroup &= ~1
         # v4/v5p: split query groups across the chip's two TensorCores
         from .ops.sw_stream import is_megacore
         megacore = not interpret and is_megacore()

@@ -475,3 +475,30 @@ def test_align_empty_subject_fatal(m62):
     for x, y in ((a, empty), (empty, a), (empty, empty)):
         with _pytest.raises(RuntimeError, match="Internal error"):
             align_py(x, y, m62.matrix, 11, 1)
+
+
+def test_hint_endpoints_grid_matches_per_bin(m62):
+    # the batched grid pass (one dispatch for many (query, bin) jobs via
+    # the hint kernel's query axis) must equal the per-bin results
+    # exactly, across different query lengths, subject scales, and
+    # score-0 lanes; ineligible bins (a segmented giant) fall back
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(77)
+    jobs = []
+    for qlen, n, dmax in ((37, 7, 150), (130, 19, 400), (64, 3, 60)):
+        q = rng.integers(1, 26, size=qlen, dtype=np.int8)
+        ds = [rng.integers(1, 26, size=int(rng.integers(3, dmax)),
+                           dtype=np.int8) for _ in range(n)]
+        ds.append(np.array([25, 25, 25], dtype=np.int8))   # score-0 lane
+        jobs.append((q, ds))
+    # one ineligible bin: subject above the giant threshold routes to
+    # the per-bin segmented path
+    qg = rng.integers(1, 26, size=40, dtype=np.int8)
+    giant = rng.integers(1, 26, size=AH.GIANT_HINT_MIN + 7,
+                         dtype=np.int8)
+    jobs.append((qg, [giant]))
+    got = AH.hint_endpoints_grid(jobs, m62.matrix, 11, 1,
+                                 force_device=True, interpret=True)
+    for (q, ds), res in zip(jobs, got):
+        want = AH.hint_endpoints_many(q, ds, m62.matrix, 11, 1)
+        assert res == want

@@ -361,7 +361,7 @@ def test_pick_stream_mode_routes_long_queries():
     from swipe_tpu.parallel.multihost import _pick_stream_mode
     assert _pick_stream_mode(False, 1024, 2048) == ("lax", 2048)
     assert _pick_stream_mode(True, 1024, 512) == ("stream", 512)
-    assert _pick_stream_mode(True, 2048, 384) == ("stream", 384)
-    assert _pick_stream_mode(True, 2048, 512) == ("stream_long", 512)
+    assert _pick_stream_mode(True, 2048, 512) == ("stream", 512)
+    assert _pick_stream_mode(True, 2048, 640) == ("stream_long", 1024)
     mode, pad = _pick_stream_mode(True, 1024, 1152)
     assert mode == "stream_long" and pad % 512 == 0 and pad >= 1152

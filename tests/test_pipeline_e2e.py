@@ -874,3 +874,32 @@ def test_stream_flow_route_heavy_tail():
     top = sorted(want, key=lambda *_: 0)
     order = np.lexsort((-np.arange(len(want)), -want))
     assert [h.seqno for h in hits2.hits] == list(order[:5])
+
+
+def test_batch_align_grid_single_dispatch(monkeypatch):
+    """A multi-query batch's align-phase hint pass must ride O(1) grid
+    dispatches (the hint kernel's query axis), not one per (query, bin),
+    and produce the same alignments as the per-bin path."""
+    from swipe_tpu.ops import align_hint as AH
+    rng = np.random.default_rng(93)
+    base = "".join(rng.choice(list(AA), 90))
+    fasta, recs = _mkfasta(rng, 60, 40, 160, AA,
+                           plant={k: base[k:60 + k] for k in range(6)})
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="griddb")
+    queries = [preprocess_query(f"g{k}", base[k:80 + k], 1, 3)
+               for k in range(6)]
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=20, alignments=20)
+
+    ref = SearchEngine(db, params, backend="lax").search_batch(queries)
+
+    monkeypatch.setattr(AH, "GRID_FORCE_DEVICE", True)
+    monkeypatch.setattr(AH, "GRID_INTERPRET", True)
+    monkeypatch.setattr(AH, "GRID_DISPATCHES", 0)
+    got = SearchEngine(db, params, backend="lax").search_batch(queries)
+    assert AH.GRID_DISPATCHES == 1          # six bins, ONE dispatch
+    for hg, hr in zip(got, ref):
+        assert [(h.seqno, h.score, h.alignment, h.align_q_start,
+                 h.align_d_start) for h in hg.hits] == \
+               [(h.seqno, h.score, h.alignment, h.align_q_start,
+                 h.align_d_start) for h in hr.hits]
