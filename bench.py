@@ -111,7 +111,7 @@ def main():
         # through short narrow chunks.  max_cols targets the mean lane
         # load so the full-width chunks stay dense.
         mean_lane = int(lens.sum()) // 2048
-        mc = max((mean_lane // 2 // 128) * 128, 256)
+        mc = max((mean_lane // 2 + 64) // 128 * 128, 256)
         chunks = pack_stream_flow(seqs, nseqs=2048, max_cols=mc,
                                   drain_cols=128)
         dev = [(jnp.asarray(c.data_t).T, jnp.asarray(c.start),

@@ -297,7 +297,10 @@ class SearchEngine:
         self._flow_packs: dict[int, list] = {}
         self._dev_flow: dict[int, list] = {}
         if self.backend in ("stream", "stream_interpret"):
-            self.chunks = self._stream_chunks(nseqs)
+            # flow-routed databases never touch the plain lane pack;
+            # build it only when the flow heuristic passes on it
+            self.chunks = None if self._flow_cols(nseqs) is not None \
+                else self._stream_chunks(nseqs)
             self._seg_chunks = None
         else:
             self.chunks = pack_database(
@@ -345,7 +348,7 @@ class SearchEngine:
         if avg_lane < self.FLOW_MIN_AVG_LANE \
                 or longest <= self.FLOW_TAIL_RATIO * avg_lane:
             return None
-        mc = int(avg_lane) // 2 // 128 * 128
+        mc = (int(avg_lane) // 2 + 64) // 128 * 128
         return min(max(mc, 256), self._max_cols)
 
     def _flow_chunks(self, nseqs: int):
