@@ -40,13 +40,17 @@ def main():
 
     rng = np.random.default_rng(0)
     m = ScoreMatrix.builtin("BLOSUM62", gapopen=11, gapextend=1)
+    # length-clipped corpus: dense LPT pack isolates SCALING efficiency
+    # from the occupancy question (bench.py owns the realistic-corpus
+    # number)
     lens = np.clip(rng.lognormal(5.8, 0.5, 20_000).astype(int), 20, 3000)
     seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
     m8 = jnp.asarray(build_matrix8(m.matrix))
-    qlen, reps = 200, 5
+    qlen, r_small, r_big, trials = 200, 3, 12, 3
+    nq = trials * (r_small + r_big) + r_big
     qcs = [tuple(map(jnp.asarray, build_qcodes(
         [rng.integers(1, 26, size=qlen, dtype=np.int8)], 256)))
-        for _ in range(2 * reps)]
+        for _ in range(nq)]
     cells = qlen * int(lens.sum())
 
     sizes = []
@@ -74,10 +78,22 @@ def main():
             return np.asarray(
                 jnp.concatenate([run(qc) for qc in sets]).max())
 
-        one_pass(qcs[reps:])
-        t0 = time.time()
-        one_pass(qcs[:reps])
-        dt = max(time.time() - t0 - 0.037, 1e-9) / reps
+        # slope timing (see bench.py): two chain lengths, one sync each;
+        # the fixed dispatch+sync cost cancels in the difference (the
+        # old subtract-the-sync method inflated results tunnel-state-
+        # dependently)
+        one_pass(qcs[-r_big:])
+        walls = {r_small: [], r_big: []}
+        pos = 0
+        for _ in range(trials):
+            for r in (r_small, r_big):
+                sel = qcs[pos:pos + r]
+                pos += r
+                t0 = time.time()
+                one_pass(sel)
+                walls[r].append(time.time() - t0)
+        dt = max((min(walls[r_big]) - min(walls[r_small]))
+                 / (r_big - r_small), 1e-9)
         gcups = cells / dt / 1e9
         if base is None:
             base = gcups
