@@ -144,6 +144,28 @@ def _fused_flow_step(first, has_ends, interpret, gapopenextend, gapextend,
     return jax.jit(impl)
 
 
+def _dispatch_with_retry(step, *args, retries: int = 1):
+    """Dispatch a jitted chunk step, retrying once on a transient
+    runtime failure.
+
+    The reference has no failure recovery at all (fatal() exits,
+    /root/reference/swipe.cc:158-170); SURVEY §5 notes a re-dispatch of
+    failed shards is a cheap extra since the chunk queue is already
+    dynamic.  Here the remote execution tunnel occasionally drops a
+    dispatch (worker restart); one retry after a short pause masks it,
+    while deterministic failures (compile errors) still surface on the
+    second attempt.
+    """
+    for attempt in range(retries + 1):
+        try:
+            return step(*args)
+        except Exception:                       # jaxlib runtime errors
+            if attempt == retries:
+                raise
+            import time as _time
+            _time.sleep(1.0)
+
+
 @dataclass
 class SearchParams:
     symtype: int = 1
@@ -722,8 +744,9 @@ class SearchEngine:
                 long, interpret, p.gapopenextend, p.gapextend, qgroup,
                 megacore, nslots_pad, use_topk, kbase,
                 self.matrix.scorelimit_7, self.matrix.scorelimit_16)
-            payload = step(qc, ql, m8, data, start, end_block, lane,
-                           init_thr, upper_thr)
+            payload = _dispatch_with_retry(
+                step, qc, ql, m8, data, start, end_block, lane,
+                init_thr, upper_thr)
             pending.append((units, payload, use_topk))
             if len(pending) >= self.CHUNK_WINDOW:
                 drain(pending.pop(0))
@@ -738,18 +761,26 @@ class SearchEngine:
     def _search_flow_group(self, slots, qc, ql, m8, init_thr, upper_thr,
                            kbase, nseqs, qlen_pad, timings, interpret,
                            drain):
-        """Score one slot group through the flow series: per chunk, ONE
-        jitted step permutes the carried state, runs the carry kernel,
-        gathers the chunk's ending units and reduces them on device
-        (_fused_flow_step).  Chunks are sequential (state dependency) but
-        dispatch is async, so host-side hit entry overlaps device work
-        behind a CHUNK_WINDOW of pending payloads."""
+        """Score one slot group through the flow series.
+
+        When the whole series is device-cached (the common case), ALL
+        chunks run as ONE jitted walk whose single packed result crosses
+        the host link once (_flow_walk): a per-chunk drain costs a ~40 ms
+        tunnel round-trip, which dominated small searches (measured:
+        cfg2 at 1 GCUPS from ~11 chunk syncs).  Streaming-mode databases
+        (beyond the device cache) keep the per-chunk step loop with a
+        CHUNK_WINDOW of pending payloads."""
         from .ops.sw_stream import make_stream_state
         p = self.params
+        chunks_dev = list(self._dev_flow_chunks(nseqs))
+        if nseqs in self._dev_flow:
+            self._search_flow_fused(slots, qc, ql, m8, init_thr,
+                                    upper_thr, kbase, nseqs, qlen_pad,
+                                    timings, interpret, chunks_dev)
+            return
         state = None
         pending = []
-        for data, start, src, eb, ln, units, w in \
-                self._dev_flow_chunks(nseqs):
+        for data, start, src, eb, ln, units, w in chunks_dev:
             first = state is None
             if first:
                 state = make_stream_state(qc.shape[0], qlen_pad, w)
@@ -759,8 +790,9 @@ class SearchEngine:
                 first, has_ends, interpret, p.gapopenextend, p.gapextend,
                 int(qc.shape[0]), use_topk, kbase,
                 self.matrix.scorelimit_7, self.matrix.scorelimit_16)
-            out = step(qc, ql, m8, data, start, src, *state, eb, ln,
-                       init_thr, upper_thr)
+            out = _dispatch_with_retry(
+                step, qc, ql, m8, data, start, src, *state, eb, ln,
+                init_thr, upper_thr)
             state = out[:3]
             if has_ends:
                 payload = out[3] if not use_topk else out[3:]
@@ -769,6 +801,112 @@ class SearchEngine:
                     drain(pending.pop(0))
         for item in pending:
             drain(item)
+
+    def _flow_walk(self, nseqs, nq, qlen_pad, kbase, interpret,
+                   chunks_dev):
+        """Build (and cache) the one-dispatch walk over a device-cached
+        flow series: state threads through every chunk in one jit; each
+        chunk's ending units reduce to (score, GLOBAL unit id) rows on
+        device; everything packs into ONE int32 array
+        [nq, 2*K + 4] = [scores | unit ids | totalh | obvious | n16 | n63]
+        so exactly one buffer crosses the tunnel per slot group."""
+        key = (nseqs, nq, qlen_pad, kbase, interpret)
+        cache = getattr(self, "_flow_walk_cache", None)
+        if cache is None:
+            cache = self._flow_walk_cache = {}
+        if key in cache:
+            return cache[key]
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.sw_stream import (gather_scores, make_stream_state,
+                                    permute_stream_state,
+                                    sw_scores_stream_carry)
+        p = self.params
+        sl7 = self.matrix.scorelimit_7
+        sl16 = self.matrix.scorelimit_16
+        unit_devs = [jnp.asarray(u.astype(np.int32))
+                     for _, _, _, _, _, u, _ in chunks_dev]
+
+        @jax.jit
+        def walk(qc, ql, m8, init_thr, upper):
+            h = e = s = None
+            vals_parts, unit_parts = [], []
+            totalh = jnp.zeros((nq,), jnp.int32)
+            obvious = jnp.zeros((nq,), jnp.int32)
+            n16 = jnp.int32(0)
+            n63 = jnp.int32(0)
+            for i, (data, start, src, eb, ln, units, w) in \
+                    enumerate(chunks_dev):
+                if i == 0:
+                    h, e, s = make_stream_state(nq, qlen_pad, w)
+                else:
+                    h, e, s = permute_stream_state(h, e, s, src)
+                out, h, e, s = sw_scores_stream_carry(
+                    qc, ql, m8, data, start, h, e, s,
+                    gapopenextend=p.gapopenextend,
+                    gapextend=p.gapextend, interpret=interpret)
+                if units.shape[0] == 0:
+                    continue
+                sc = gather_scores(out, eb, ln)
+                totalh = totalh + (sc >= init_thr[:, None]).sum(
+                    axis=1).astype(jnp.int32)
+                obvious = obvious + (sc > upper[:, None]).sum(
+                    axis=1).astype(jnp.int32)
+                n16 = n16 + (sc >= sl7).sum().astype(jnp.int32)
+                n63 = n63 + (sc >= sl16).sum().astype(jnp.int32)
+                sc = jnp.where(sc > upper[:, None], -1, sc)
+                ud = unit_devs[i]
+                if kbase < sc.shape[1]:
+                    rev = sc[:, ::-1]
+                    v, ridx = jax.lax.top_k(rev, kbase)
+                    idx = sc.shape[1] - 1 - ridx
+                    u = ud[idx] + v * 0
+                else:
+                    v = sc
+                    u = jnp.broadcast_to(ud[None, :], sc.shape) + v * 0
+                vals_parts.append(v)
+                unit_parts.append(u)
+            V = jnp.concatenate(vals_parts, axis=1)
+            U = jnp.concatenate(unit_parts, axis=1)
+            return jnp.concatenate(
+                [V, U, totalh[:, None], obvious[:, None],
+                 jnp.full((nq, 1), 1, jnp.int32) * n16,
+                 jnp.full((nq, 1), 1, jnp.int32) * n63], axis=1)
+
+        cache[key] = walk
+        return walk
+
+    def _search_flow_fused(self, slots, qc, ql, m8, init_thr, upper_thr,
+                           kbase, nseqs, qlen_pad, timings, interpret,
+                           chunks_dev):
+        """One dispatch + one fetch for the whole device-cached flow
+        series (see _flow_walk)."""
+        walk = self._flow_walk(nseqs, int(qc.shape[0]), qlen_pad, kbase,
+                               interpret, chunks_dev)
+        packed = np.asarray(_dispatch_with_retry(
+            walk, qc, ql, m8, init_thr, upper_thr))
+        K = (packed.shape[1] - 4) // 2
+        V, U = packed[:, :K], packed[:, K:2 * K]
+        totalh = packed[:, 2 * K]
+        obvious = packed[:, 2 * K + 1]
+        n16, n63 = int(packed[0, 2 * K + 2]), int(packed[0, 2 * K + 3])
+        n_units = sum(u.shape[0] for *_, u, _ in chunks_dev)
+        for fi, (hits, qstrand, qframe, _) in enumerate(slots):
+            sel = V[fi] >= 0
+            meta = self.unit_meta[U[fi][sel]]
+            hits.enter_batch(meta[:, 0], V[fi][sel], qstrand, qframe,
+                             meta[:, 1], meta[:, 2],
+                             counts=(int(totalh[fi]), int(obvious[fi])))
+        if timings is not None:
+            timings.compute[7] += n_units * len(slots)
+            timings.compute[16] += n16
+            timings.compute[63] += n63
+            timings.rounds[7] += len(slots)
+            if n16:
+                timings.rounds[16] += len(slots)
+            if n63:
+                timings.rounds[63] += len(slots)
 
     def _score_carry_series(self, slots, qlen_pad, timings, *, kind):
         """Score the giant units against all slots via the carry series.

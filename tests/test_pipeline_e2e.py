@@ -903,3 +903,26 @@ def test_batch_align_grid_single_dispatch(monkeypatch):
                  h.align_d_start) for h in hg.hits] == \
                [(h.seqno, h.score, h.alignment, h.align_q_start,
                  h.align_d_start) for h in hr.hits]
+
+
+def test_dispatch_retry_masks_transient_failure():
+    """One transient dispatch failure is retried (the failure-recovery
+    extra over the reference's fatal()-only handling); a persistent
+    failure still raises."""
+    from swipe_tpu.pipeline import _dispatch_with_retry
+    calls = {"n": 0}
+
+    def flaky(x):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient tunnel drop")
+        return x + 1
+
+    assert _dispatch_with_retry(flaky, 41) == 42
+    assert calls["n"] == 2
+
+    def dead(x):
+        raise RuntimeError("deterministic failure")
+
+    with pytest.raises(RuntimeError):
+        _dispatch_with_retry(dead, 1)
