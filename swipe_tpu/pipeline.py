@@ -731,32 +731,149 @@ class SearchEngine:
         # v4/v5p: split query groups across the chip's two TensorCores
         from .ops.sw_stream import is_megacore
         megacore = not interpret and is_megacore()
-        # keep a few chunks in flight: dispatch is async so device work
-        # overlaps the host-side hit entry, but unbounded issue would keep
-        # every upload + per-block dump buffer live at once (fatal for
-        # databases in streaming mode)
-        pending = []
-        for data, start, end_block, lane, units in \
-                self._dev_stream_chunks(
-                    nseqs, self.LONG_MAX_COLS if long else None):
-            use_topk = kbase < units.shape[0]
-            step = _fused_stream_step(
-                long, interpret, p.gapopenextend, p.gapextend, qgroup,
-                megacore, nslots_pad, use_topk, kbase,
-                self.matrix.scorelimit_7, self.matrix.scorelimit_16)
-            payload = _dispatch_with_retry(
-                step, qc, ql, m8, data, start, end_block, lane,
-                init_thr, upper_thr)
-            pending.append((units, payload, use_topk))
-            if len(pending) >= self.CHUNK_WINDOW:
-                drain(pending.pop(0))
-        for item in pending:
-            drain(item)
+        # device-cached multi-chunk databases run as ONE jitted walk with
+        # a single packed result (one tunnel round-trip per slot group;
+        # per-chunk drains cost ~40 ms each — measured ~0.8 s of the
+        # full config-4 wall).  Streaming-mode databases keep the
+        # windowed per-chunk loop: dispatch is async so device work
+        # overlaps the host-side hit entry, but unbounded issue would
+        # keep every upload + dump buffer live at once.
+        mc_key = (nseqs, (self.LONG_MAX_COLS if long else None)
+                  or self._max_cols)
+        chunks_dev = list(self._dev_stream_chunks(
+            nseqs, self.LONG_MAX_COLS if long else None))
+        if mc_key in self._dev_stream and len(chunks_dev) > 1:
+            self._search_stream_fused(slots, qc, ql, m8, init_thr,
+                                      upper_thr, kbase, timings,
+                                      (long, interpret, qgroup, megacore,
+                                       mc_key, qlen_pad), chunks_dev)
+        else:
+            pending = []
+            for data, start, end_block, lane, units in chunks_dev:
+                use_topk = kbase < units.shape[0]
+                step = _fused_stream_step(
+                    long, interpret, p.gapopenextend, p.gapextend, qgroup,
+                    megacore, nslots_pad, use_topk, kbase,
+                    self.matrix.scorelimit_7, self.matrix.scorelimit_16)
+                payload = _dispatch_with_retry(
+                    step, qc, ql, m8, data, start, end_block, lane,
+                    init_thr, upper_thr)
+                pending.append((units, payload, use_topk))
+                if len(pending) >= self.CHUNK_WINDOW:
+                    drain(pending.pop(0))
+            for item in pending:
+                drain(item)
         # chromosome-scale units stream through the bounded carry series
         # (queries beyond one VMEM tile use its tiled-carry variant)
         self._score_carry_series(
             slots, qlen_pad, timings,
             kind="stream_interpret" if interpret else "stream")
+
+    def _stream_walk(self, cfg, nq, kbase, chunks_dev):
+        """One-dispatch walk over a device-cached plain-pack chunk list
+        (the independent-chunk twin of _flow_walk): every chunk scores,
+        gathers, and reduces on device; results pack into one int32
+        array [nq, 2*K + 4] = [scores | unit ids | totalh | obvious |
+        n16 | n63]."""
+        key = ("stream", cfg, nq, kbase)
+        cache = getattr(self, "_flow_walk_cache", None)
+        if cache is None:
+            cache = self._flow_walk_cache = {}
+        if key in cache:
+            return cache[key]
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.sw_stream import (gather_scores, sw_scores_stream,
+                                    sw_scores_stream_long)
+        long, interpret, qgroup, megacore, _, _ = cfg
+        p = self.params
+        sl7 = self.matrix.scorelimit_7
+        sl16 = self.matrix.scorelimit_16
+        unit_devs = [jnp.asarray(u.astype(np.int32))
+                     for *_, u in chunks_dev]
+
+        @jax.jit
+        def walk(qc, ql, m8, init_thr, upper):
+            vals_parts, unit_parts = [], []
+            totalh = jnp.zeros((nq,), jnp.int32)
+            obvious = jnp.zeros((nq,), jnp.int32)
+            n16 = jnp.int32(0)
+            n63 = jnp.int32(0)
+            for i, (data, start, eb, ln, units) in enumerate(chunks_dev):
+                if long:
+                    out = sw_scores_stream_long(
+                        qc, ql, m8, data, start,
+                        gapopenextend=p.gapopenextend,
+                        gapextend=p.gapextend, interpret=interpret)
+                else:
+                    out = sw_scores_stream(
+                        qc, ql, m8, data, start,
+                        gapopenextend=p.gapopenextend,
+                        gapextend=p.gapextend, interpret=interpret,
+                        qgroup=qgroup, megacore=megacore)
+                sc = gather_scores(out, eb, ln)
+                totalh = totalh + (sc >= init_thr[:, None]).sum(
+                    axis=1).astype(jnp.int32)
+                obvious = obvious + (sc > upper[:, None]).sum(
+                    axis=1).astype(jnp.int32)
+                n16 = n16 + (sc >= sl7).sum().astype(jnp.int32)
+                n63 = n63 + (sc >= sl16).sum().astype(jnp.int32)
+                sc = jnp.where(sc > upper[:, None], -1, sc)
+                ud = unit_devs[i]
+                if kbase < sc.shape[1]:
+                    rev = sc[:, ::-1]
+                    v, ridx = jax.lax.top_k(rev, kbase)
+                    idx = sc.shape[1] - 1 - ridx
+                    u = ud[idx] + v * 0
+                else:
+                    v = sc
+                    u = jnp.broadcast_to(ud[None, :], sc.shape) + v * 0
+                vals_parts.append(v)
+                unit_parts.append(u)
+            V = jnp.concatenate(vals_parts, axis=1)
+            U = jnp.concatenate(unit_parts, axis=1)
+            return jnp.concatenate(
+                [V, U, totalh[:, None], obvious[:, None],
+                 jnp.full((nq, 1), 1, jnp.int32) * n16,
+                 jnp.full((nq, 1), 1, jnp.int32) * n63], axis=1)
+
+        cache[key] = walk
+        return walk
+
+    def _search_stream_fused(self, slots, qc, ql, m8, init_thr, upper_thr,
+                             kbase, timings, cfg, chunks_dev):
+        """One dispatch + one fetch for a device-cached plain-pack chunk
+        list (see _stream_walk)."""
+        walk = self._stream_walk(cfg, int(qc.shape[0]), kbase, chunks_dev)
+        packed = np.asarray(_dispatch_with_retry(
+            walk, qc, ql, m8, init_thr, upper_thr))
+        self._enter_packed(slots, packed,
+                           sum(u.shape[0] for *_, u in chunks_dev),
+                           timings)
+
+    def _enter_packed(self, slots, packed, n_units, timings):
+        """Unpack one [nq, 2K+4] walk result and enter all hits."""
+        K = (packed.shape[1] - 4) // 2
+        V, U = packed[:, :K], packed[:, K:2 * K]
+        totalh = packed[:, 2 * K]
+        obvious = packed[:, 2 * K + 1]
+        n16, n63 = int(packed[0, 2 * K + 2]), int(packed[0, 2 * K + 3])
+        for fi, (hits, qstrand, qframe, _) in enumerate(slots):
+            sel = V[fi] >= 0
+            meta = self.unit_meta[U[fi][sel]]
+            hits.enter_batch(meta[:, 0], V[fi][sel], qstrand, qframe,
+                             meta[:, 1], meta[:, 2],
+                             counts=(int(totalh[fi]), int(obvious[fi])))
+        if timings is not None:
+            timings.compute[7] += n_units * len(slots)
+            timings.compute[16] += n16
+            timings.compute[63] += n63
+            timings.rounds[7] += len(slots)
+            if n16:
+                timings.rounds[16] += len(slots)
+            if n63:
+                timings.rounds[63] += len(slots)
 
     def _search_flow_group(self, slots, qc, ql, m8, init_thr, upper_thr,
                            kbase, nseqs, qlen_pad, timings, interpret,
@@ -886,27 +1003,9 @@ class SearchEngine:
                                interpret, chunks_dev)
         packed = np.asarray(_dispatch_with_retry(
             walk, qc, ql, m8, init_thr, upper_thr))
-        K = (packed.shape[1] - 4) // 2
-        V, U = packed[:, :K], packed[:, K:2 * K]
-        totalh = packed[:, 2 * K]
-        obvious = packed[:, 2 * K + 1]
-        n16, n63 = int(packed[0, 2 * K + 2]), int(packed[0, 2 * K + 3])
-        n_units = sum(u.shape[0] for *_, u, _ in chunks_dev)
-        for fi, (hits, qstrand, qframe, _) in enumerate(slots):
-            sel = V[fi] >= 0
-            meta = self.unit_meta[U[fi][sel]]
-            hits.enter_batch(meta[:, 0], V[fi][sel], qstrand, qframe,
-                             meta[:, 1], meta[:, 2],
-                             counts=(int(totalh[fi]), int(obvious[fi])))
-        if timings is not None:
-            timings.compute[7] += n_units * len(slots)
-            timings.compute[16] += n16
-            timings.compute[63] += n63
-            timings.rounds[7] += len(slots)
-            if n16:
-                timings.rounds[16] += len(slots)
-            if n63:
-                timings.rounds[63] += len(slots)
+        self._enter_packed(slots, packed,
+                           sum(u.shape[0] for *_, u, _ in chunks_dev),
+                           timings)
 
     def _score_carry_series(self, slots, qlen_pad, timings, *, kind):
         """Score the giant units against all slots via the carry series.

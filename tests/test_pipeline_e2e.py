@@ -926,3 +926,26 @@ def test_dispatch_retry_masks_transient_failure():
 
     with pytest.raises(RuntimeError):
         _dispatch_with_retry(dead, 1)
+
+
+def test_stream_multichunk_fused_walk_matches_lax():
+    """Device-cached multi-chunk databases score through ONE jitted walk
+    (single packed result); hits, counters, and tie order must match the
+    per-chunk lax route exactly."""
+    rng = np.random.default_rng(97)
+    q = "".join(rng.choice(list(AA), 70))
+    fasta, recs = _mkfasta(rng, 2000, 40, 140, AA,
+                           plant={7: q[5:65], 123: q[:40] + q[20:60],
+                                  1999: q[10:66]})
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="walkdb")
+    query = preprocess_query("qw walk", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=50, alignments=5, expect=1e9)
+    eng = SearchEngine(db, params, nseqs=1024, max_cols=128,
+                       backend="stream_interpret")
+    assert len(eng._stream_chunks(1024)) > 1
+    got = eng.search(query)
+    want = SearchEngine(db, params, backend="lax").search(query)
+    assert [(h.seqno, h.score) for h in got.hits] == \
+           [(h.seqno, h.score) for h in want.hits]
+    assert got.totalhits == want.totalhits
