@@ -140,6 +140,40 @@ def pack_database(seqs: list[np.ndarray], nseqs: int = 512,
     return chunks
 
 
+def _pack_stream_native(seqs, lens, order, seqnos, nseqs: int,
+                        max_cols: int, block: int) -> list["StreamChunk"]:
+    """pack_stream through the native planner/filler (swipe_tpu.native):
+    same LPT plan, chunk splits, member order, and byte layout as the
+    Python loop — the fuzz test asserts full equality."""
+    from . import native
+    max_blocks = max(max_cols // block, 1)
+    nchunks, chunk_id, lane, startblk, chunk_nblocks = native.pack_plan(
+        lens, order, nseqs, max_blocks, block)
+    blob = np.concatenate([np.asarray(s, dtype=np.int8).ravel()
+                           for s in seqs]) if len(seqs) else \
+        np.zeros(0, dtype=np.int8)
+    offs = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+    nb_arr = np.maximum(-(-lens // block), 1)
+    # flush order within a chunk: lane-major, then placement order
+    ord2 = np.lexsort((startblk, lane, chunk_id))
+    bounds = np.searchsorted(chunk_id[ord2], np.arange(nchunks + 1))
+    chunks: list[StreamChunk] = []
+    for c in range(nchunks):
+        sel = np.ascontiguousarray(ord2[bounds[c]: bounds[c + 1]])
+        ncols = int(chunk_nblocks[c]) * block
+        data_t = np.empty((nseqs, ncols), dtype=np.int8)
+        start = np.zeros((int(chunk_nblocks[c]), nseqs), dtype=np.int8)
+        lane_c = np.ascontiguousarray(lane[sel])
+        blk_c = np.ascontiguousarray(startblk[sel])
+        native.pack_fill(sel, blob, offs, lane_c, blk_c, block,
+                         PAD_SYMBOL, data_t, start)
+        chunks.append(StreamChunk(
+            data_t, start, np.ascontiguousarray(seqnos[sel]),
+            lane_c, (blk_c + nb_arr[sel] - 1).astype(np.int32),
+            int(lens[sel].sum())))
+    return chunks
+
+
 @dataclass
 class StreamChunk:
     """One lane-packed batch for the stream kernel (ops.sw_stream).
@@ -203,6 +237,13 @@ def pack_stream(seqs: list[np.ndarray], nseqs: int = 2048,
         seqnos = np.arange(len(seqs), dtype=np.int64)
     lens = np.array([len(s) for s in seqs], dtype=np.int64)
     order = np.argsort(-lens, kind="stable")
+
+    from . import native
+    if native.pack_available() and len(seqs) >= 4096:
+        # the C plan+fill (native/packer.cc) — byte-identical output,
+        # ~5x faster at Swiss-Prot scale (test_native_packer.py)
+        return _pack_stream_native(seqs, lens, order, seqnos, nseqs,
+                                   max_cols, block)
 
     chunks: list[StreamChunk] = []
     # per-chunk state
@@ -290,7 +331,8 @@ class FlowChunk(StreamChunk):
 def pack_stream_flow(seqs: list[np.ndarray], nseqs: int = 2048,
                      max_cols: int = 2048, block: int = 16,
                      drain_cols: int | None = None,
-                     seqnos: np.ndarray | None = None) -> list[FlowChunk]:
+                     seqnos: np.ndarray | None = None,
+                     oneshot_drain: bool = True) -> list[FlowChunk]:
     """Full-occupancy flow packing: cut ANY sequence at chunk capacity.
 
     pack_stream cannot beat occupancy = mean_lane_load / longest_member
@@ -348,6 +390,19 @@ def pack_stream_flow(seqs: list[np.ndarray], nseqs: int = 2048,
         H = H_drain if draining else H_full
         width = nseqs if not draining else \
             min(nseqs, max(round_up(len(remainders), 1024), 1024))
+        if oneshot_drain and draining and len(remainders) <= width <= 1024:
+            # one-shot drain: every chain fits one lane of this chunk, and
+            # the width is already floored at the kernel minimum, so
+            # walking the chains progressively (H_drain cols per launch)
+            # costs the SAME footprint but pays a chunk boundary — state
+            # DMA in/out, a carry permute, a launch — per step.  Retire
+            # everything in ONE chunk of height max-remaining instead
+            # (measured on the config-1 corpus: chunks 3..10 collapse to
+            # one).  Chromosome-deep chains keep the bounded progressive
+            # walk so a drain chunk's bytes stay capped.
+            dmax = max(nblk[si] - off for si, off, _ in remainders)
+            if dmax <= max(4 * H_full, H_drain):
+                H = dmax
         lanes: list[list[tuple[int, int, int]]] = []   # (si, off, nb) per lane
         carry_src = np.full(width, -1, dtype=np.int32)
         new_rem: list[tuple[int, int, int]] = []

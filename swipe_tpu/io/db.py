@@ -25,7 +25,7 @@ import numpy as np
 
 from ..alphabet import (MAP_NCBI_AA, MAP_NCBI_NT16, MAP_SOUND, NT_COMPL,
                         translate, revcompl)
-from .fasta import read_fasta
+from .fasta import read_fasta, scan_fasta_bytes
 
 __all__ = ["Database", "FastaDatabase", "SearchUnit"]
 
@@ -163,24 +163,58 @@ class FastaDatabase(Database):
         self._seqs: list[np.ndarray] = []
         self._headers: list[str] = []
         if isinstance(path_or_fp, str):
-            fp = open(path_or_fp)
-            close = True
             self.title = title if title is not None else path_or_fp
+            with open(path_or_fp, "rb") as fb:
+                blob = fb.read()
+            scanned = scan_fasta_bytes(blob)
+            if scanned is not None:
+                self._ingest_bulk(scanned, charmap)
+            else:
+                # NUL / overlong-line / non-ASCII input: the exact
+                # fgets-semantics reader (see scan_fasta_bytes)
+                import io as _io
+                self._ingest_records(
+                    _io.StringIO(blob.decode("latin-1")), charmap)
         else:
-            fp = path_or_fp
-            close = False
             self.title = title or ""
-        try:
-            for desc, raw in read_fasta(fp):
-                raw_b = raw.encode("ascii", errors="replace")
-                codes = charmap[np.frombuffer(raw_b, dtype=np.uint8)]
-                self._seqs.append(codes[codes >= 0].astype(np.int8))
-                self._headers.append(desc)
-        finally:
-            if close:
-                fp.close()
+            self._ingest_records(path_or_fp, charmap)
         self._symcount = int(sum(len(s) for s in self._seqs))
         self.time_str = ""
+
+    def _ingest_records(self, fp, charmap: np.ndarray) -> None:
+        """Record-by-record ingestion through the exact fgets reader
+        (streams, and byte streams the bulk scanner rejects)."""
+        for desc, raw in read_fasta(fp):
+            raw_b = raw.encode("ascii", errors="replace")
+            codes = charmap[np.frombuffer(raw_b, dtype=np.uint8)]
+            self._seqs.append(codes[codes >= 0].astype(np.int8))
+            self._headers.append(desc)
+
+    def _ingest_bulk(self, scanned, charmap: np.ndarray) -> None:
+        """Whole-file vectorized ingestion (scan_fasta_bytes fast path):
+        one charmap gather + one filter over the entire byte stream, then
+        per-record views by np.split — no per-record Python work.
+        Byte-for-byte equal to _ingest_records (test_fasta_bulk_parity)."""
+        headers, seq_bytes, counts = scanned
+        codes_all = charmap[seq_bytes]
+        keep = codes_all >= 0
+        n_kept = int(np.count_nonzero(keep))
+        if n_kept == keep.size:
+            # clean FASTA (nothing unmappable): no filter pass at all
+            codes, kept = codes_all.astype(np.int8), counts
+        else:
+            codes = codes_all[keep].astype(np.int8)
+            # kept bytes per record: boundary-differenced running count
+            # (int32 unless the stream needs more; byte-level reduceat
+            # on bool measured pathologically slow)
+            ends = np.cumsum(counts, dtype=np.int64)
+            ck = np.cumsum(
+                keep, dtype=np.int64 if keep.size >= 2**31 else np.int32)
+            run = np.concatenate([[0], ck])[ends]
+            kept = np.diff(run, prepend=0)
+        self._seqs = np.split(codes, np.cumsum(kept)[:-1]) \
+            if len(counts) else []
+        self._headers = headers
 
     def seqcount(self) -> int:
         return len(self._seqs)

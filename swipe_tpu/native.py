@@ -44,6 +44,30 @@ def _load():
                 ctypes.POINTER(ctypes.c_long),                  # inout coords[5]
                 ctypes.c_char_p, ctypes.c_long,                 # ops buf, cap
             ]
+            try:
+                i64p = ctypes.POINTER(ctypes.c_int64)
+                i32p = ctypes.POINTER(ctypes.c_int32)
+                i8p = ctypes.POINTER(ctypes.c_int8)
+                lib.swtpu_pack_plan.restype = ctypes.c_int64
+                lib.swtpu_pack_plan.argtypes = [
+                    ctypes.c_int64, i64p, i64p,                 # nseq lens order
+                    ctypes.c_int64, ctypes.c_int64,             # nlanes maxblk
+                    ctypes.c_int64,                             # block
+                    i32p, i32p, i64p, i64p,                     # chunk lane blk nb
+                ]
+                lib.swtpu_pack_fill.restype = None
+                lib.swtpu_pack_fill.argtypes = [
+                    ctypes.c_int64, i64p,                       # nmember seqidx
+                    i8p, i64p,                                  # blob offs
+                    i32p, i64p,                                 # lane startblk
+                    ctypes.c_int64, ctypes.c_int64,             # block ncols
+                    ctypes.c_int8,                              # pad
+                    i8p, i8p,                                   # data_t start
+                    ctypes.c_int64, ctypes.c_int64,             # nlanes nblocks
+                ]
+            except AttributeError:
+                # an older .so without the packer: aligner still usable
+                lib._swtpu_no_packer = True
             _LIB = lib
             break
     return _LIB
@@ -51,6 +75,53 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def pack_available() -> bool:
+    lib = _load()
+    return lib is not None and not getattr(lib, "_swtpu_no_packer", False)
+
+
+def pack_plan(lens: np.ndarray, order: np.ndarray, nlanes: int,
+              max_blocks: int, block: int):
+    """LPT chunk plan (native/packer.cc swtpu_pack_plan): returns
+    (nchunks, chunk_id[nseq], lane[nseq], start_block[nseq],
+    chunk_nblocks[nchunks]) — bit-identical to pack_stream's Python
+    assignment loop."""
+    import ctypes as ct
+    lib = _load()
+    n = len(lens)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    order64 = np.ascontiguousarray(order, dtype=np.int64)
+    chunk_id = np.empty(n, dtype=np.int32)
+    lane = np.empty(n, dtype=np.int32)
+    startblk = np.empty(n, dtype=np.int64)
+    chunk_nblocks = np.empty(max(n, 1), dtype=np.int64)
+    p = lambda a, t: a.ctypes.data_as(ct.POINTER(t))
+    nchunks = lib.swtpu_pack_plan(
+        n, p(lens64, ct.c_int64), p(order64, ct.c_int64),
+        nlanes, max_blocks, block,
+        p(chunk_id, ct.c_int32), p(lane, ct.c_int32),
+        p(startblk, ct.c_int64), p(chunk_nblocks, ct.c_int64))
+    return int(nchunks), chunk_id, lane, startblk, chunk_nblocks[:nchunks]
+
+
+def pack_fill(seqidx: np.ndarray, blob: np.ndarray, offs: np.ndarray,
+              lane: np.ndarray, startblk: np.ndarray, block: int,
+              pad: int, data_t: np.ndarray, start: np.ndarray) -> None:
+    """Fill one chunk's lane-major plane + start mask (swtpu_pack_fill).
+    ``seqidx``/``lane``/``startblk`` are the chunk's members in flush
+    order; data_t may be uninitialized (every byte is written)."""
+    import ctypes as ct
+    lib = _load()
+    nblocks, nlanes = start.shape
+    p = lambda a, t: a.ctypes.data_as(ct.POINTER(t))
+    lib.swtpu_pack_fill(
+        len(seqidx), p(seqidx, ct.c_int64),
+        p(blob, ct.c_int8), p(offs, ct.c_int64),
+        p(lane, ct.c_int32), p(startblk, ct.c_int64),
+        block, data_t.shape[1], pad,
+        p(data_t, ct.c_int8), p(start, ct.c_int8), nlanes, nblocks)
 
 
 def align(a, b, matrix, q, r, hint=None):

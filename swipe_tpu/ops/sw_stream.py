@@ -62,11 +62,21 @@ __all__ = ["sw_scores_stream", "sw_scores_stream_lax", "gather_scores",
            "sw_scores_stream_carry", "sw_scores_stream_lax_carry",
            "make_stream_state", "make_stream_state_lax", "is_megacore",
            "sw_hint_stream", "sw_scores_stream_carry_long",
-           "make_stream_state_long", "permute_stream_state"]
+           "make_stream_state_long", "permute_stream_state",
+           "build_dprofile_series"]
 
 KSEG = 16   # db columns per grid block = lane-refill granularity
 SUB = 8     # sublane fold: packed lane i -> (sublane i // NL, lane i % NL)
 RU = 4      # query rows per inner step (amortizes row-state VMEM traffic)
+# dprofile element type.  int32 loads full-tile; int16 halves the
+# profile's VMEM (the largest scratch at 2048 lanes) at the cost of a
+# half-tile (16-sublane tiling) row load + a widen per cell — a knob for
+# VMEM-starved variants (e.g. KSEG=32), measured via tools/mfu_stream.py.
+DPROF_DTYPE = jnp.int32
+# measurement-only (tools/mfu_stream.py --nodprof): skip the per-block
+# dprofile build to attribute the fixed per-block cost between profile
+# construction and grid/loop overhead.  Results are WRONG when set.
+_SKIP_DPROF = False
 
 
 def build_matrix8(matrix: np.ndarray) -> np.ndarray:
@@ -126,14 +136,67 @@ def _build_dprofile(m8_ref, db_ref, dprof_ref):
     the row loop's (SUB, NL) loads are quarter-tile for int8 (32-sublane
     tiling) and the per-cell widening adds an op — so its 4x VMEM saving
     is not worth it."""
+    if _SKIP_DPROF:                       # timing probe only (see flag)
+        return
     sym_iota = jax.lax.broadcasted_iota(jnp.int32, (32, 1, 1), 0)
     dblk = db_ref[...].astype(jnp.int32)                # [KSEG*SUB, NL]
     oh = (dblk[None, :, :] == sym_iota).astype(jnp.int8)
-    dprof_ref[...] = jax.lax.dot_general(
+    prof = jax.lax.dot_general(
         m8_ref[...], oh,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    dprof_ref[...] = prof if dprof_ref.dtype == jnp.int32 \
+        else prof.astype(dprof_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def build_dprofile_series(matrix8: jax.Array, db: jax.Array, *,
+                          interpret: bool = False) -> jax.Array:
+    """Precompute EVERY block's score profile of a chunk into HBM.
+
+    The dprofile depends only on the database block — never on the
+    query — yet the inline build costs ~6.5 us per (query, block) on a
+    v5e (measured round 3: the batch kernel runs at 246 GCUPS with the
+    build and 326 without at qlen 200, i.e. 97.8%% of the 2-chain VPU
+    ceiling once the build is gone).  Building the whole chunk's
+    profiles ONCE here and streaming them into the scoring kernels
+    (``dprof=`` argument) recovers the reference's economics — SWIPE
+    pays dprofile_fill once per 64 db symbols regardless of query count
+    (/root/reference/search7.cc:50-51) — across the whole query batch
+    AND across chunks a search revisits.
+
+    Returns [nblocks, 32, KSEG*SUB, nl] (DPROF_DTYPE) for db [L, nseqs];
+    sized ~128x the chunk's bytes, so callers budget HBM windows
+    (a 2048-lane block is 4.2 MB; scoring overlaps the per-block DMA
+    with ~20 us of row-loop compute, so the stream stays hidden).
+    """
+    L, nseqs = db.shape
+    if L % KSEG:
+        raise ValueError(f"db length {L} not a multiple of {KSEG}")
+    nl = nseqs // SUB
+    nblocks = L // KSEG
+    db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
+
+    def kern(m8_ref, db_ref, out_ref):
+        _build_dprofile(m8_ref, db_ref, out_ref)
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((32, 32), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((KSEG * SUB, nl), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, 32, KSEG * SUB, nl),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 32, KSEG * SUB, nl),
+                                       DPROF_DTYPE),
+        interpret=interpret,
+    )(matrix8, db8)
 
 
 def _scoring_cell(clamp):
@@ -217,6 +280,8 @@ def _make_row_body_multi(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref,
             for k in range(RU):
                 for mi in range(M):
                     p = dprof_ref[qsyms[mi][k], j * SUB:(j + 1) * SUB]
+                    if p.dtype != jnp.int32:
+                        p = p.astype(jnp.int32)
                     h = jnp.maximum(jnp.maximum(diag[mi][k] + p, 0),
                                     jnp.maximum(ehat[mi][k], fh[mi]))
                     h, accs[mi] = cell(h, rbase, k, j, accs[mi])
@@ -319,9 +384,15 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
 
 
 def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
-                   Q: int, R: int, clamp: int | None):
+                   Q: int, R: int, clamp: int | None,
+                   dprof_in: bool = False):
     """One (query, db-block) grid step of the CARRY variant
     (sw_scores_stream_carry; the plain path uses _stream_kernel_grouped).
+
+    With ``dprof_in`` the block profile arrives as a pipelined INPUT
+    (build_dprofile_series) instead of being rebuilt per (query, block)
+    — the build was the entire measured fixed cost (see
+    build_dprofile_series).
 
     db_ref:    [KSEG*SUB, NL] int8 — column j's symbols are rows j*8..j*8+7
     start_ref: [1, SUB, NL] int32 — 1 where the lane starts a new sequence
@@ -338,9 +409,14 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     (batching.pack_stream_carry) cuts lanes mid-sequence and the cut
     columns continue in the next chunk of the series.
     """
-    (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
-     hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-     dprof_ref, dma_sem) = rest
+    if dprof_in:
+        (dprof_ref, hin_ref, ein_ref, sin_ref, out_ref, hout_ref,
+         eout_ref, sout_ref, hst_ref, est_ref, hrow_ref, frow_ref,
+         s_ref, dma_sem) = rest
+    else:
+        (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
+         hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+         dprof_ref, dma_sem) = rest
     qi = pl.program_id(0)
     b = pl.program_id(1)
     nl = db_ref.shape[1]
@@ -358,8 +434,9 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
         for cp in cps:
             cp.wait()
 
-    # ---- dprofile: one-hot matmul on the MXU --------------------------------
-    _build_dprofile(m8_ref, db_ref, dprof_ref)
+    # ---- dprofile: one-hot matmul on the MXU (unless streamed in) -----------
+    if not dprof_in:
+        _build_dprofile(m8_ref, db_ref, dprof_ref)
 
     # ---- lane refill: reset state where a new sequence starts ---------------
     reset = start_ref[0] != 0                               # [SUB, NL] bool
@@ -498,7 +575,7 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((qgroup, SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE),
         ],
     )
     out = pl.pallas_call(
@@ -562,7 +639,8 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
                            start: jax.Array, h: jax.Array, e: jax.Array,
                            s: jax.Array, *, gapopenextend: int,
                            gapextend: int, clamp: int | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           dprof: jax.Array | None = None):
     """sw_scores_stream over ONE chunk of a pack_stream_carry series.
 
     h/e: [NQ, QLEN, SUB, NL] int32, s: [NQ, SUB, NL] int32 — the per-lane
@@ -575,6 +653,12 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     ``db``/``start`` may be narrower than the state's lane count (compact
     chunks from pack_stream_carry): the missing lanes are PAD-filled on
     device, so idle lanes never cross the host->device link.
+
+    ``dprof``: this chunk's precomputed block profiles
+    (build_dprofile_series, built at the STATE's lane width) — streamed
+    per block instead of rebuilt per (query, block); the build is the
+    kernel's entire measured fixed cost, so passing it lifts the
+    single-query rate to ~98% of the VPU ceiling.
     """
     nq, qlen_pad = qcodes.shape
     db, start, nseqs = _pad_to_state_width(db, start,
@@ -590,26 +674,47 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     nblocks = L // KSEG
     db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
     start32 = start.astype(jnp.int32).reshape(nblocks, SUB, nl)
+    if dprof is not None and dprof.shape != (nblocks, 32, KSEG * SUB, nl):
+        raise ValueError(f"dprof shape {dprof.shape} != "
+                         f"{(nblocks, 32, KSEG * SUB, nl)}")
 
     kernel = functools.partial(
-        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp)
+        _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp,
+        dprof_in=dprof is not None)
+
+    in_specs = [
+        pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [qcodes, qlens, matrix8, db8, start32]
+    if dprof is not None:
+        in_specs.append(pl.BlockSpec((None, 32, KSEG * SUB, nl),
+                                     lambda q, b, *_: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(dprof)
+    # carry state stays in HBM; the kernel DMAs it into the same
+    # VMEM scratch the non-carry kernel zero-initializes
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    inputs += [h, e, s]
+    scratch = [
+        pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+        pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
+        pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+        pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
+        pltpu.VMEM((SUB, nl), jnp.int32),
+    ]
+    if dprof is None:
+        scratch.append(pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE))
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq, nblocks),
-        in_specs=[
-            pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KSEG * SUB, nl), lambda q, b, *_: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, nl), lambda q, b, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # carry state stays in HBM; the kernel DMAs it into the same
-            # VMEM scratch the non-carry kernel zero-initializes
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -617,15 +722,7 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
-            pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
-            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
-            pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
-            pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        scratch_shapes=scratch,
     )
     out, h2, e2, s2 = pl.pallas_call(
         kernel,
@@ -640,7 +737,7 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qcodes, qlens, matrix8, db8, start32, h, e, s)
+    )(*inputs)
     return out.reshape(nq, nblocks, nseqs), h2, e2, s2
 
 
@@ -835,7 +932,7 @@ def sw_hint_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE),
         ],
     )
     s, bq, bp = pl.pallas_call(
@@ -1083,7 +1180,7 @@ def _stream_tile_pass(qcodes, qlens, tile, matrix8, db8, start32, bh, bf,
             pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE),
         ],
     )
     return pl.pallas_call(
@@ -1248,7 +1345,7 @@ def _stream_tile_carry_pass(qcodes, qlens, tile, matrix8, db8, start32,
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
             pltpu.VMEM((SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), jnp.int32),
+            pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE),
             pltpu.SemaphoreType.DMA((3,)),
         ],
     )

@@ -47,7 +47,7 @@ def _run_single(args) -> str:
     return buf.getvalue()
 
 
-def _run_multi(tmp_path, args, nproc=2) -> str:
+def _run_multi(tmp_path, args, nproc=2, backend="lax") -> str:
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
@@ -58,7 +58,7 @@ def _run_multi(tmp_path, args, nproc=2) -> str:
     outfile = tmp_path / "multi.txt"
     for r in range(nproc):
         cmd = [sys.executable, "-m", "swipe_tpu.cli"] + args + [
-            "--backend", "lax", "--mh-procs", str(nproc),
+            "--backend", backend, "--mh-procs", str(nproc),
             "--mh-rank", str(r), "--mh-coord", f"localhost:{port}"]
         if r == 0:
             cmd += ["-o", str(outfile)]
@@ -112,6 +112,26 @@ def test_multihost_output_identical(mh_db, case):
             args[i] = str(mh_db / v)
     single = _normalize(_run_single(args))
     multi = _normalize(_run_multi(mh_db, args, nproc=2))
+    assert multi == single
+
+
+def test_multihost_output_identical_stream_backend(mh_db):
+    """Same 2-process byte-parity through the PRODUCTION stream path
+    (Pallas kernel in interpret mode on the CPU mesh) — the lax cases
+    above validate the collective plumbing, this one the stream
+    packing/flow/carry route multihost actually ships with."""
+    args = ["-p", "blastp", "-m", "9", "-d", str(mh_db / "db.fa"),
+            "-i", str(mh_db / "qp.fa")]
+    from contextlib import redirect_stdout
+
+    from swipe_tpu.cli import main
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(args + ["--backend", "stream_interpret"])
+    assert rc == 0
+    single = _normalize(buf.getvalue())
+    multi = _normalize(_run_multi(
+        mh_db, args, nproc=2, backend="stream_interpret"))
     assert multi == single
 
 

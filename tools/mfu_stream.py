@@ -226,8 +226,17 @@ def main():
     if kseg:
         sw_stream.KSEG = int(kseg)
         import swipe_tpu.batching  # block param passed explicitly above
+    if os.environ.get("SWIPE_TPU_DPROF16"):
+        # int16 dprofile: run in a FRESH process — DPROF_DTYPE is read at
+        # trace time and jit caches don't key on it
+        import jax.numpy as jnp
+        sw_stream.DPROF_DTYPE = jnp.int16
+    if "--nodprof" in sys.argv:
+        # timing probe: skip the per-block dprofile build (results wrong)
+        sw_stream._SKIP_DPROF = True
     print(f"# backend={jax.default_backend()} "
-          f"RU={sw_stream.RU} KSEG={sw_stream.KSEG}")
+          f"RU={sw_stream.RU} KSEG={sw_stream.KSEG} "
+          f"dprof={np.dtype(sw_stream.DPROF_DTYPE).name}")
 
     widths = [256] if quick else [128, 256, 512, 1024, 2048]
     ceiling = None
