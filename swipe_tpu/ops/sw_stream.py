@@ -319,10 +319,9 @@ def _make_row_body(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
 
 
 def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
-                           out_ref, hst_ref, est_ref, hrow_ref, frow_ref,
-                           s_ref, dprof_ref, *,
-                           Q: int, R: int, clamp: int | None,
-                           qgroup: int, qlen_pad: int, minter: int):
+                           *rest, Q: int, R: int, clamp: int | None,
+                           qgroup: int, qlen_pad: int, minter: int,
+                           dprof_in: bool = False):
     """One (query-group, db-block, member-tuple) grid step.
 
     The score profile ("dprofile") depends only on the db block — NOT on
@@ -342,6 +341,12 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
     length-bucketed so members match), and a shorter member's extra
     rows read the PAD profile and decay.
     """
+    if dprof_in:
+        (dprof_ref, out_ref, hst_ref, est_ref, hrow_ref, frow_ref,
+         s_ref) = rest
+    else:
+        (out_ref, hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
+         dprof_ref) = rest
     gi = pl.program_id(0)
     b = pl.program_id(1)
     qp = pl.program_id(2)
@@ -354,10 +359,11 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
         est_ref[...] = jnp.full_like(est_ref, NEG_INF)
         s_ref[...] = jnp.zeros_like(s_ref)
 
-    # ---- dprofile: built once per (group, block), reused by members ---------
-    @pl.when(qp == 0)
-    def _dprofile():
-        _build_dprofile(m8_ref, db_ref, dprof_ref)
+    if not dprof_in:
+        # ---- dprofile: built once per (group, block), shared by members -----
+        @pl.when(qp == 0)
+        def _dprofile():
+            _build_dprofile(m8_ref, db_ref, dprof_ref)
 
     reset = start_ref[0] != 0
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
@@ -500,7 +506,8 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
                      clamp: int | None = None,
                      interpret: bool = False,
                      qgroup: int = 1,
-                     megacore: bool = False) -> jax.Array:
+                     megacore: bool = False,
+                     dprof: jax.Array | None = None) -> jax.Array:
     """Score queries against a lane-packed db chunk (stream kernel).
 
     qcodes:  [NQ, QLEN] int32 query codes, PAD_SYMBOL padded (build_qcodes)
@@ -517,7 +524,16 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
              additionally run members PAIRWISE-INTERLEAVED in the row
              loop (minter=2): two independent recurrences double the
              VPU's dependency chains (the DP is latency-bound — see
-             _make_row_body_multi), the main batch-throughput lever.
+             _make_row_body_multi), the main batch-throughput lever
+             WHEN the dprofile is built inline.
+    dprof:   precomputed block profiles (build_dprofile_series),
+             streamed per block instead of rebuilt per (group, block).
+             The inline build is the kernel's whole measured fixed cost
+             (~6.5 us/block at 2048 lanes), and most of qgroup pairing's
+             historical +16% was really build amortization — with dprof
+             streamed, qgroup=1 measures within ~4% of paired, and the
+             pair's doubled H/E state no longer fits VMEM beside the
+             profile blocks, so dprof callers use qgroup=1.
     Returns [NQ, L // KSEG, NSEQS] int32: each lane's running max score
     after every block; a sequence's score is the value at its end block
     (gather_scores).
@@ -550,33 +566,47 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
 
     minter = 2 if qgroup % 2 == 0 else 1
     npairs = qgroup // minter
+    if dprof is not None and dprof.shape != (nblocks, 32, KSEG * SUB, nl):
+        raise ValueError(f"dprof shape {dprof.shape} != "
+                         f"{(nblocks, 32, KSEG * SUB, nl)}")
     kernel = functools.partial(
         _stream_kernel_grouped, Q=gapopenextend, R=gapextend, clamp=clamp,
-        qgroup=qgroup, qlen_pad=qlen_pad, minter=minter)
+        qgroup=qgroup, qlen_pad=qlen_pad, minter=minter,
+        dprof_in=dprof is not None)
+
+    in_specs = [
+        pl.BlockSpec((32, 32), lambda g, b, q, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((KSEG * SUB, nl), lambda g, b, q, *_: (b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, SUB, nl), lambda g, b, q, *_: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [qcodes, qlens, matrix8, db8, start32]
+    if dprof is not None:
+        in_specs.append(pl.BlockSpec((None, 32, KSEG * SUB, nl),
+                                     lambda g, b, q, *_: (b, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(dprof)
+    scratch = [
+        pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
+        pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
+        pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
+        pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
+        pltpu.VMEM((qgroup, SUB, nl), jnp.int32),
+    ]
+    if dprof is None:
+        scratch.append(pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(ngroups, nblocks, npairs),
-        in_specs=[
-            pl.BlockSpec((32, 32), lambda g, b, q, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((KSEG * SUB, nl), lambda g, b, q, *_: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, SUB, nl), lambda g, b, q, *_: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (minter, 1, SUB, nl),
             lambda g, b, q, *_: (g * npairs + q, b, 0, 0),
             memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
-            pltpu.VMEM((qgroup * qlen_pad, SUB, nl), jnp.int32),
-            pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
-            pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
-            pltpu.VMEM((qgroup, SUB, nl), jnp.int32),
-            pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
@@ -597,7 +627,7 @@ def sw_scores_stream(qcodes: jax.Array, qlens: jax.Array, matrix8: jax.Array,
                 "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(qcodes, qlens, matrix8, db8, start32)
+    )(*inputs)
     return out.reshape(nq_pad, nblocks, nseqs)[:nq]
 
 

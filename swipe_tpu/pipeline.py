@@ -76,7 +76,8 @@ def _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16):
 
 @functools.lru_cache(maxsize=128)
 def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
-                       megacore, nslots, topk, k, sl7, sl16):
+                       megacore, nslots, topk, k, sl7, sl16,
+                       use_dprof=False):
     """One jitted computation per configuration: stream kernel -> score
     gather -> (optionally) device top-K reduction.
 
@@ -86,11 +87,18 @@ def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
     dispatches were chained the same way) and lets XLA free the
     per-block dump — up to 32 MB per slot on a full 65536-column chunk —
     immediately after the gather instead of holding it for a second
-    dispatch."""
+    dispatch.
+
+    ``use_dprof`` precomputes the chunk's block score profiles on device
+    (build_dprofile_series) and streams them into the kernel: the
+    profiles depend only on the db block, so ONE build serves the whole
+    slot group instead of every (query, block) grid step — the inline
+    build was the kernel's entire measured fixed cost (~6.5 us/block at
+    2048 lanes; single-query rate 246 -> 326 GCUPS without it)."""
     import jax
 
-    from .ops.sw_stream import (gather_scores, sw_scores_stream,
-                                sw_scores_stream_long)
+    from .ops.sw_stream import (build_dprofile_series, gather_scores,
+                                sw_scores_stream, sw_scores_stream_long)
 
     def impl(qc, ql, m8, data, start, end_block, lane, init_thr, upper):
         if long:
@@ -98,10 +106,12 @@ def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
                 qc, ql, m8, data, start, gapopenextend=gapopenextend,
                 gapextend=gapextend, interpret=interpret)
         else:
+            dp = build_dprofile_series(m8, data, interpret=interpret) \
+                if use_dprof else None
             out = sw_scores_stream(
                 qc, ql, m8, data, start, gapopenextend=gapopenextend,
                 gapextend=gapextend, interpret=interpret,
-                qgroup=qgroup, megacore=megacore)
+                qgroup=qgroup, megacore=megacore, dprof=dp)
         sc = gather_scores(out, end_block, lane)[:nslots]
         if topk:
             return _chunk_reduce_impl(sc, init_thr, upper, k, sl7, sl16)
@@ -112,27 +122,31 @@ def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
 
 @functools.lru_cache(maxsize=256)
 def _fused_flow_step(first, has_ends, interpret, gapopenextend, gapextend,
-                     nslots, topk, k, sl7, sl16):
+                     nslots, topk, k, sl7, sl16, use_dprof=False):
     """One jitted computation per flow-chunk configuration: state permute
     -> carry kernel -> score gather -> (optionally) device top-K.
 
     The flow series (batching.pack_stream_flow) threads per-lane DP state
     chunk to chunk, so unlike _fused_stream_step the carried (h, e, s)
     rides through the step; ``first`` skips the permute on chunk 0 and
-    ``has_ends`` elides the gather for chunks where no sequence ends."""
+    ``has_ends`` elides the gather for chunks where no sequence ends.
+    ``use_dprof``: see _fused_stream_step."""
     import jax
 
-    from .ops.sw_stream import (gather_scores, permute_stream_state,
+    from .ops.sw_stream import (build_dprofile_series, gather_scores,
+                                permute_stream_state,
                                 sw_scores_stream_carry)
 
     def impl(qc, ql, m8, data, start, src, h, e, s, eb, ln,
              init_thr, upper):
         if not first:
             h, e, s = permute_stream_state(h, e, s, src)
+        dp = build_dprofile_series(m8, data, interpret=interpret) \
+            if use_dprof else None
         out, h, e, s = sw_scores_stream_carry(
             qc, ql, m8, data, start, h, e, s,
             gapopenextend=gapopenextend, gapextend=gapextend,
-            interpret=interpret)
+            interpret=interpret, dprof=dp)
         if not has_ends:
             return h, e, s
         sc = gather_scores(out, eb, ln)[:nslots]
@@ -267,7 +281,13 @@ class SearchEngine:
         elif nseqs is None:
             nseqs = 512
         if max_cols is None:
-            max_cols = 65536 if stream else 16384
+            # stream chunks are sized so one chunk's precomputed block
+            # profiles (128x the chunk bytes, see build_dprofile_series /
+            # DPROF_MAX_BYTES) stay within the HBM guard: 2048 lanes x
+            # 8192 cols = 16 MB data -> 2 GB of profiles per chunk.
+            # More, smaller chunks cost nothing extra inside the fused
+            # walks (one dispatch either way).
+            max_cols = 8192 if stream else 16384
         self._pack(nseqs, max_cols)
 
     # stream-kernel configs: (lanes, row budget of the co-resident H/E
@@ -280,6 +300,24 @@ class SearchEngine:
     # members pair per grid step (member interleaving, +16% measured;
     # see ops/sw_stream._make_row_body_multi).
     STREAM_CONFIGS = ((2048, 512), (1024, 1024))
+
+    # dprofile-precompute mode (round 3): the block profiles are built
+    # once per chunk per slot group (build_dprofile_series) and streamed
+    # into the kernel; the inline per-(query, block) build was the whole
+    # measured fixed cost (~6.5 us/block at 2048 lanes; config-1 bench
+    # 182 -> 244 GCUPS, single-query kernel to ~98% of the VPU ceiling).
+    # The streamed profile blocks are double-buffered in VMEM (2 x
+    # 4.2 MB at 2048 lanes), so the co-resident H/E row budget shrinks:
+    # queries past STREAM_ROWS_DPROF keep the inline build instead of
+    # falling to the (much slower) long path.
+    USE_DPROF = True
+    STREAM_ROWS_DPROF = ((2048, 288), (1024, 640))
+    # skip the precompute for chunks whose profile array would not fit
+    # comfortably in HBM (bytes = 128 x chunk data bytes)
+    DPROF_MAX_BYTES = 3 << 30
+
+    def _dprof_ok(self, use_dprof: bool, data) -> bool:
+        return bool(use_dprof) and data.size * 128 <= self.DPROF_MAX_BYTES
 
     @staticmethod
     def _resolve_backend(backend: str) -> str:
@@ -701,6 +739,16 @@ class SearchEngine:
             units, payload, reduced = item
             self._enter_chunk(slots, units, payload, reduced, timings)
 
+        # dprofile precompute (build_dprofile_series): the block profiles
+        # are db-only, built once per chunk per slot group and STREAMED
+        # into the kernel — the inline build was the whole measured fixed
+        # cost.  The profile blocks take VMEM the inline path spent on
+        # row state, so the row cap shrinks (STREAM_ROWS_DPROF); queries
+        # beyond that cap keep the inline build rather than fall to the
+        # much slower long path.
+        dcap = dict(self.STREAM_ROWS_DPROF)[nseqs]
+        use_dprof = self.USE_DPROF and not long and qlen_pad <= dcap
+
         # heavy length tails over small databases route through the flow
         # series (state-carrying chunks at ~full occupancy) instead of
         # the single-chunk lane pack; giants still go to the carry /
@@ -708,7 +756,7 @@ class SearchEngine:
         if not long and self._flow_cols(nseqs) is not None:
             self._search_flow_group(slots, qc, ql, m8, init_thr, upper_thr,
                                     kbase, nseqs, qlen_pad, timings,
-                                    interpret, drain)
+                                    interpret, drain, use_dprof)
             self._score_carry_series(
                 slots, qlen_pad, timings,
                 kind="stream_interpret" if interpret else "stream")
@@ -716,16 +764,18 @@ class SearchEngine:
 
         # short-query dprofile amortization: members of a query group
         # share one dprofile build per db block; the group's row states
-        # must fit the config's VMEM row cap (STREAM_CONFIGS)
+        # must fit the config's VMEM row cap (STREAM_CONFIGS, or the
+        # dprof-mode cap when profiles are streamed)
         qgroup = 1
         if not long:
-            cap = dict(self.STREAM_CONFIGS)[nseqs]
+            cap = dcap if use_dprof else dict(self.STREAM_CONFIGS)[nseqs]
             # bound by the PADDED count so a padded tail group keeps the
             # main groups' kernel shape
             qgroup = min(max(cap // qlen_pad, 1), nslots_pad)
-            # even qgroups run members pairwise-interleaved (+16-28%
-            # measured); an odd third member would cost that for one
-            # extra dprofile share
+            # even qgroups run members pairwise-interleaved in the row
+            # loop; with the inline build that measured +16% (mostly
+            # build amortization), with streamed profiles the residual
+            # ILP gain is ~4% — still free when the state fits
             if qgroup >= 2:
                 qgroup &= ~1
         # v4/v5p: split query groups across the chip's two TensorCores
@@ -746,7 +796,8 @@ class SearchEngine:
             self._search_stream_fused(slots, qc, ql, m8, init_thr,
                                       upper_thr, kbase, timings,
                                       (long, interpret, qgroup, megacore,
-                                       mc_key, qlen_pad), chunks_dev)
+                                       mc_key, qlen_pad, use_dprof),
+                                      chunks_dev)
         else:
             pending = []
             for data, start, end_block, lane, units in chunks_dev:
@@ -754,7 +805,8 @@ class SearchEngine:
                 step = _fused_stream_step(
                     long, interpret, p.gapopenextend, p.gapextend, qgroup,
                     megacore, nslots_pad, use_topk, kbase,
-                    self.matrix.scorelimit_7, self.matrix.scorelimit_16)
+                    self.matrix.scorelimit_7, self.matrix.scorelimit_16,
+                    use_dprof=self._dprof_ok(use_dprof, data))
                 payload = _dispatch_with_retry(
                     step, qc, ql, m8, data, start, end_block, lane,
                     init_thr, upper_thr)
@@ -784,9 +836,10 @@ class SearchEngine:
         import jax
         import jax.numpy as jnp
 
-        from .ops.sw_stream import (gather_scores, sw_scores_stream,
+        from .ops.sw_stream import (build_dprofile_series, gather_scores,
+                                    sw_scores_stream,
                                     sw_scores_stream_long)
-        long, interpret, qgroup, megacore, _, _ = cfg
+        long, interpret, qgroup, megacore, _, _, use_dprof = cfg
         p = self.params
         sl7 = self.matrix.scorelimit_7
         sl16 = self.matrix.scorelimit_16
@@ -807,11 +860,17 @@ class SearchEngine:
                         gapopenextend=p.gapopenextend,
                         gapextend=p.gapextend, interpret=interpret)
                 else:
+                    # profiles are built per chunk inside the walk: one
+                    # build serves the whole slot group, and XLA frees
+                    # each chunk's profile buffer after its kernel
+                    dp = build_dprofile_series(
+                        m8, data, interpret=interpret) \
+                        if self._dprof_ok(use_dprof, data) else None
                     out = sw_scores_stream(
                         qc, ql, m8, data, start,
                         gapopenextend=p.gapopenextend,
                         gapextend=p.gapextend, interpret=interpret,
-                        qgroup=qgroup, megacore=megacore)
+                        qgroup=qgroup, megacore=megacore, dprof=dp)
                 sc = gather_scores(out, eb, ln)
                 totalh = totalh + (sc >= init_thr[:, None]).sum(
                     axis=1).astype(jnp.int32)
@@ -877,7 +936,7 @@ class SearchEngine:
 
     def _search_flow_group(self, slots, qc, ql, m8, init_thr, upper_thr,
                            kbase, nseqs, qlen_pad, timings, interpret,
-                           drain):
+                           drain, use_dprof=False):
         """Score one slot group through the flow series.
 
         When the whole series is device-cached (the common case), ALL
@@ -893,7 +952,8 @@ class SearchEngine:
         if nseqs in self._dev_flow:
             self._search_flow_fused(slots, qc, ql, m8, init_thr,
                                     upper_thr, kbase, nseqs, qlen_pad,
-                                    timings, interpret, chunks_dev)
+                                    timings, interpret, chunks_dev,
+                                    use_dprof)
             return
         state = None
         pending = []
@@ -906,7 +966,8 @@ class SearchEngine:
             step = _fused_flow_step(
                 first, has_ends, interpret, p.gapopenextend, p.gapextend,
                 int(qc.shape[0]), use_topk, kbase,
-                self.matrix.scorelimit_7, self.matrix.scorelimit_16)
+                self.matrix.scorelimit_7, self.matrix.scorelimit_16,
+                use_dprof=self._dprof_ok(use_dprof, data))
             out = _dispatch_with_retry(
                 step, qc, ql, m8, data, start, src, *state, eb, ln,
                 init_thr, upper_thr)
@@ -920,14 +981,14 @@ class SearchEngine:
             drain(item)
 
     def _flow_walk(self, nseqs, nq, qlen_pad, kbase, interpret,
-                   chunks_dev):
+                   chunks_dev, use_dprof=False):
         """Build (and cache) the one-dispatch walk over a device-cached
         flow series: state threads through every chunk in one jit; each
         chunk's ending units reduce to (score, GLOBAL unit id) rows on
         device; everything packs into ONE int32 array
         [nq, 2*K + 4] = [scores | unit ids | totalh | obvious | n16 | n63]
         so exactly one buffer crosses the tunnel per slot group."""
-        key = (nseqs, nq, qlen_pad, kbase, interpret)
+        key = (nseqs, nq, qlen_pad, kbase, interpret, use_dprof)
         cache = getattr(self, "_flow_walk_cache", None)
         if cache is None:
             cache = self._flow_walk_cache = {}
@@ -936,7 +997,8 @@ class SearchEngine:
         import jax
         import jax.numpy as jnp
 
-        from .ops.sw_stream import (gather_scores, make_stream_state,
+        from .ops.sw_stream import (build_dprofile_series, gather_scores,
+                                    make_stream_state,
                                     permute_stream_state,
                                     sw_scores_stream_carry)
         p = self.params
@@ -959,10 +1021,12 @@ class SearchEngine:
                     h, e, s = make_stream_state(nq, qlen_pad, w)
                 else:
                     h, e, s = permute_stream_state(h, e, s, src)
+                dp = build_dprofile_series(m8, data, interpret=interpret) \
+                    if self._dprof_ok(use_dprof, data) else None
                 out, h, e, s = sw_scores_stream_carry(
                     qc, ql, m8, data, start, h, e, s,
                     gapopenextend=p.gapopenextend,
-                    gapextend=p.gapextend, interpret=interpret)
+                    gapextend=p.gapextend, interpret=interpret, dprof=dp)
                 if units.shape[0] == 0:
                     continue
                 sc = gather_scores(out, eb, ln)
@@ -996,11 +1060,11 @@ class SearchEngine:
 
     def _search_flow_fused(self, slots, qc, ql, m8, init_thr, upper_thr,
                            kbase, nseqs, qlen_pad, timings, interpret,
-                           chunks_dev):
+                           chunks_dev, use_dprof=False):
         """One dispatch + one fetch for the whole device-cached flow
         series (see _flow_walk)."""
         walk = self._flow_walk(nseqs, int(qc.shape[0]), qlen_pad, kbase,
-                               interpret, chunks_dev)
+                               interpret, chunks_dev, use_dprof)
         packed = np.asarray(_dispatch_with_retry(
             walk, qc, ql, m8, init_thr, upper_thr))
         self._enter_packed(slots, packed,

@@ -437,6 +437,64 @@ def test_stream_flow_matches_oracle(m62):
     assert np.array_equal(got, want)
 
 
+def test_stream_dprof_input_matches_oracle(m62):
+    """Precomputed-dprofile path (build_dprofile_series + dprof= input):
+    both the grouped and the carry kernel must equal the oracle exactly
+    — the profile blocks are streamed from HBM instead of rebuilt per
+    (query, block), which must not change a single score."""
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream, pack_stream_flow
+    from swipe_tpu.ops.sw_stream import (build_dprofile_series,
+                                         make_stream_state,
+                                         permute_stream_state,
+                                         sw_scores_stream,
+                                         sw_scores_stream_carry)
+    rng = np.random.default_rng(21)
+    lens = np.concatenate([rng.integers(5, 250, 250), [800, 1300]])
+    rng.shuffle(lens)
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
+    queries = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+               for L in (100, 57)]
+    m8 = jnp.asarray(build_matrix8(m62.matrix))
+    qc, ql = map(jnp.asarray, build_qcodes(queries, 128))
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+
+    # grouped kernel
+    got = np.zeros((2, len(seqs)))
+    for c in pack_stream(seqs, nseqs=1024, max_cols=4096):
+        d = jnp.asarray(c.data_t).T
+        dp = build_dprofile_series(m8, d, interpret=True)
+        out = sw_scores_stream(qc, ql, m8, d, jnp.asarray(c.start),
+                               gapopenextend=12, gapextend=1,
+                               interpret=True, dprof=dp)
+        got[:, c.seqnos] = np.asarray(gather_scores(
+            out, jnp.asarray(c.end_block), jnp.asarray(c.lane)))
+    assert np.array_equal(got, want)
+
+    # carry kernel over a flow series (cut chains + narrow drains)
+    got[:] = 0
+    h = e = s = None
+    chunks = pack_stream_flow(seqs, nseqs=1024, max_cols=256,
+                              drain_cols=128)
+    for i, ch in enumerate(chunks):
+        if i == 0:
+            h, e, s = make_stream_state(2, 128, ch.nseqs)
+        else:
+            h, e, s = permute_stream_state(h, e, s,
+                                           jnp.asarray(ch.carry_src))
+        d = jnp.asarray(ch.data)
+        dp = build_dprofile_series(m8, d, interpret=True)
+        out, h, e, s = sw_scores_stream_carry(
+            qc, ql, m8, d, jnp.asarray(ch.start), h, e, s,
+            gapopenextend=12, gapextend=1, interpret=True, dprof=dp)
+        if len(ch.seqnos):
+            got[:, ch.seqnos] = np.asarray(gather_scores(
+                out, jnp.asarray(ch.end_block), jnp.asarray(ch.lane)))
+    assert np.array_equal(got, want)
+
+
 def test_stream_flow_matches_oracle_lax():
     """Same flow-series walk through the any-backend lax twin (3-D state
     layout through permute_stream_state)."""

@@ -152,17 +152,20 @@ def measure_stream(qlen, nseqs=2048, reps_small=2, reps_big=8, seed=0):
     return true_cells / sec_per_rep, true_cells, padded_cells, nblocks, walls
 
 
-def measure_batch(qlen=200, nq=16, qgroup=2, nseqs=2048, seed=1):
+def measure_batch(qlen=200, nq=16, qgroup=2, nseqs=2048, seed=1,
+                  dprof=False):
     """Batch-throughput probe: nq queries through sw_scores_stream with a
     given qgroup (even qgroups interleave member pairs in the row loop).
-    Returns true cells/s across the batch."""
+    ``dprof`` streams precomputed block profiles (build_dprofile_series)
+    instead of the inline build.  Returns true cells/s across the batch."""
     import jax
     import jax.numpy as jnp
 
     from swipe_tpu.batching import pack_stream
     from swipe_tpu.matrices import ScoreMatrix
     from swipe_tpu.ops import sw_stream
-    from swipe_tpu.ops.sw_stream import (build_matrix8, build_qcodes,
+    from swipe_tpu.ops.sw_stream import (build_dprofile_series,
+                                         build_matrix8, build_qcodes,
                                          gather_scores, sw_scores_stream)
 
     rng = np.random.default_rng(seed)
@@ -171,10 +174,15 @@ def measure_batch(qlen=200, nq=16, qgroup=2, nseqs=2048, seed=1):
     seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8) for L in lens]
     chunks = pack_stream(seqs, nseqs=nseqs, max_cols=65536,
                          block=sw_stream.KSEG)
+    m8 = jnp.asarray(build_matrix8(m.matrix))
     dev = [(jnp.asarray(c.data_t).T, jnp.asarray(c.start),
             jnp.asarray(c.end_block), jnp.asarray(c.lane))
            for c in chunks]
-    m8 = jnp.asarray(build_matrix8(m.matrix))
+    # profiles are jit ARGUMENTS: closed-over arrays embed into the HLO
+    # as constants and the remote compile helper caps the request size
+    dprofs = tuple(jax.block_until_ready(build_dprofile_series(m8, d))
+                   for (d, *_r) in dev) if dprof else \
+        tuple(None for _ in dev)
     qlen_pad = -(-qlen // 128) * 128
     nbatches = 24
     batches = []
@@ -184,17 +192,21 @@ def measure_batch(qlen=200, nq=16, qgroup=2, nseqs=2048, seed=1):
         batches.append(tuple(map(jnp.asarray, build_qcodes(qs, qlen_pad))))
 
     @jax.jit
-    def chain(qcs, qls):
+    def chain_impl(qcs, qls, dps):
         def body(_, xs):
             qc, ql = xs
             parts = [gather_scores(
                 sw_scores_stream(qc, ql, m8, d, st, gapopenextend=12,
-                                 gapextend=1, qgroup=qgroup), eb, ln)
-                for d, st, eb, ln in dev]
+                                 gapextend=1, qgroup=qgroup,
+                                 dprof=dps[i]), eb, ln)
+                for i, (d, st, eb, ln) in enumerate(dev)]
             return 0, jax.lax.top_k(
                 jnp.concatenate(parts, axis=1).reshape(-1), 8)[0]
         _, tops = jax.lax.scan(body, 0, (qcs, qls))
         return tops
+
+    def chain(qcs, qls):
+        return chain_impl(qcs, qls, dprofs)
 
     def stack(bs):
         return (jnp.stack([b[0] for b in bs]), jnp.stack([b[1] for b in bs]))
@@ -252,10 +264,11 @@ def main():
     if "--vpu-only" in sys.argv:
         return
     if "--batch" in sys.argv:
+        dp = "--dprof" in sys.argv
         for qg in (1, 2):
             try:
-                rate, walls = measure_batch(qgroup=qg)
-                print(f"batch nq=16 qlen=200 qgroup={qg} "
+                rate, walls = measure_batch(qgroup=qg, dprof=dp)
+                print(f"batch nq=16 qlen=200 qgroup={qg} dprof={int(dp)} "
                       f"(interleave {2 if qg % 2 == 0 else 1}): "
                       f"{rate/1e9:7.1f} GCUPS "
                       f"walls {['%.4f' % w for w in walls[8]]}")
