@@ -402,7 +402,11 @@ def pack_stream_flow(seqs: list[np.ndarray], nseqs: int = 2048,
             # walk so a drain chunk's bytes stay capped.
             dmax = max(nblk[si] - off for si, off, _ in remainders)
             if dmax <= max(4 * H_full, H_drain):
-                H = dmax
+                # bucket the one-shot height to 8 blocks (every distinct
+                # drain depth would otherwise compile a fresh kernel
+                # shape — minutes each on a cold cache); no lane reaches
+                # the rounded-up height, so no cut can land there
+                H = round_up(dmax, 8)
         lanes: list[list[tuple[int, int, int]]] = []   # (si, off, nb) per lane
         carry_src = np.full(width, -1, dtype=np.int32)
         new_rem: list[tuple[int, int, int]] = []

@@ -320,7 +320,11 @@ def open_database(a: Args):
             fatal("Taxid filtering (-x) requires a BLAST-format database.")
         return FastaDatabase(a.databasename,
                              "sound" if a.symtype == 5 else dbtype,
-                             db_gencode=a.db_gencode)
+                             db_gencode=a.db_gencode,
+                             # -a drives ingestion too (the reference's
+                             # pthread pool covers db preprocessing,
+                             # swipe.cc:804,1684-1699)
+                             threads=a.threads)
     fatal("Cannot open database.")
 
 
@@ -415,6 +419,8 @@ def _fatal_on_internal_error(gen):
 
 
 def main(argv=None) -> int:
+    from . import native
+    native.tune_malloc()   # host phases allocate multi-GB numpy buffers
     a = parse_args(sys.argv[1:] if argv is None else argv)
     if a.mh_procs > 1:
         # join the multi-host job before any other JAX use; only rank 0

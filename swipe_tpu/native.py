@@ -15,6 +15,34 @@ import numpy as np
 
 _LIB = None
 _TRIED = False
+_MALLOC_TUNED = False
+
+
+def tune_malloc() -> bool:
+    """Keep large allocations on the reusable brk heap (glibc mallopt).
+
+    glibc serves big numpy buffers via mmap and unmaps them on free, so
+    every multi-MB temporary pays kernel page faults again on the next
+    allocation.  On virtualized hosts those faults are the dominant cost
+    of the host-side phases (measured on the round-4 box: first-touch of
+    fresh pages ~34 ms/MB vs ~0.35 ms/MB copying into reused heap — a
+    50 MB ingest temporary cost 1.7 s to allocate and 17 ms to fill).
+    Raising M_MMAP_THRESHOLD keeps those buffers in the heap, where freed
+    chunks are reused without refaulting.  Best-effort and idempotent;
+    returns True when the knob was applied.  The reference never needs
+    this because it mmaps its database once and reuses fixed per-thread
+    buffers (/root/reference/database.cc:1342-1349).
+    """
+    global _MALLOC_TUNED
+    if _MALLOC_TUNED:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        M_MMAP_THRESHOLD = -3
+        _MALLOC_TUNED = bool(libc.mallopt(M_MMAP_THRESHOLD, 1 << 30))
+    except (OSError, AttributeError):
+        _MALLOC_TUNED = False
+    return _MALLOC_TUNED
 
 _SO_PATHS = [
     os.path.join(os.path.dirname(os.path.dirname(__file__)),

@@ -166,17 +166,27 @@ def _dispatch_with_retry(step, *args, retries: int = 1):
     /root/reference/swipe.cc:158-170); SURVEY §5 notes a re-dispatch of
     failed shards is a cheap extra since the chunk queue is already
     dynamic.  Here the remote execution tunnel occasionally drops a
-    dispatch (worker restart); one retry after a short pause masks it,
-    while deterministic failures (compile errors) still surface on the
-    second attempt.
+    dispatch (worker restart); one retry after a short pause masks it.
+    Only the runtime/transport error types a dropped dispatch can
+    surface as are retried — a deterministic host-side bug (bad payload
+    shape, a ValueError raised inside the step) raises immediately
+    instead of paying a sleep and a full redispatch first.
     """
+    import jax
+
+    # XLA runtime errors (jax.errors.JaxRuntimeError) cover device-side
+    # execution failures; OSError covers the tunnel's transport layer
+    transient = (jax.errors.JaxRuntimeError, OSError)
     for attempt in range(retries + 1):
         try:
             return step(*args)
-        except Exception:                       # jaxlib runtime errors
+        except transient as exc:
             if attempt == retries:
                 raise
+            import sys
             import time as _time
+            print(f"swipe_tpu: retrying chunk dispatch after transient "
+                  f"{type(exc).__name__}: {exc}", file=sys.stderr)
             _time.sleep(1.0)
 
 
@@ -286,8 +296,17 @@ class SearchEngine:
             # DPROF_MAX_BYTES) stay within the HBM guard: 2048 lanes x
             # 8192 cols = 16 MB data -> 2 GB of profiles per chunk.
             # More, smaller chunks cost nothing extra inside the fused
-            # walks (one dispatch either way).
+            # walks (one dispatch either way).  The GIANT threshold stays
+            # at the old 65536: an 8k-64k db sequence (common nucleotide
+            # scale) keeps the fast plain/flow pack — its oversized chunk
+            # merely skips the dprofile precompute via _dprof_ok — instead
+            # of falling to the serial per-sequence carry route.
             max_cols = 8192 if stream else 16384
+            self._giant_cols = 65536 if stream else max_cols
+        else:
+            # explicit caps keep the old contract (tests force the giant
+            # route by shrinking max_cols)
+            self._giant_cols = max_cols
         self._pack(nseqs, max_cols)
 
     # stream-kernel configs: (lanes, row budget of the co-resident H/E
@@ -341,12 +360,14 @@ class SearchEngine:
             [(u.seqno, u.dstrand, u.dframe) for u in units], dtype=np.int64
         ).reshape(len(units), 3)
         self._max_cols = max_cols
-        # units longer than one chunk would stretch the whole pack to
-        # nseqs x their length; they go to the carry series instead
-        # (pack_stream_carry), which bounds every chunk at nseqs x max_cols
+        # units longer than the giant threshold would stretch the whole
+        # pack to nseqs x their length; they go to the carry series
+        # instead (pack_stream_carry), which bounds every chunk at
+        # nseqs x max_cols
+        gc = getattr(self, "_giant_cols", max_cols)
         lens = np.array([len(s) for s in self._unit_seqs], dtype=np.int64)
-        self._giant_ids = np.nonzero(lens > max_cols)[0].astype(np.int64)
-        self._normal_ids = np.nonzero(lens <= max_cols)[0].astype(np.int64)
+        self._giant_ids = np.nonzero(lens > gc)[0].astype(np.int64)
+        self._normal_ids = np.nonzero(lens <= gc)[0].astype(np.int64)
         self._giant_seqs = [self._unit_seqs[i] for i in self._giant_ids]
         self._norm_lens = lens[self._normal_ids]
         self._carry_packs: dict[int, list] = {}

@@ -88,3 +88,43 @@ def test_bulk_quirk_streams_still_parse_exactly(tmp_path):
     for text in quirky:
         a, b = _both(tmp_path, text)
         _assert_equal(a, b)
+
+
+def test_windowed_ingestion_parity(tmp_path, monkeypatch):
+    """Files beyond BULK_WINDOW ingest in record-aligned windows
+    (bounded temporaries, optional worker pool); results must equal the
+    whole-file scan and the exact reader — including a window whose
+    record straddles the nominal cut, a headerless preamble, and
+    unmappable characters that shift the kept-byte counts."""
+    monkeypatch.setattr(FastaDatabase, "BULK_WINDOW", 256)
+    rng = np.random.default_rng(5)
+    alpha = list("ARNDCQEGHILKMFPSTWYVBZX*- 8")
+    for trial in range(20):
+        parts = []
+        if rng.random() < 0.4:
+            parts.append("preamble" + "\n")
+        for i in range(int(rng.integers(1, 40))):
+            parts.append(f">rec {trial}/{i}\n")
+            for _ in range(int(rng.integers(0, 3))):
+                sl = int(rng.integers(0, 300))
+                parts.append("".join(rng.choice(alpha, sl)) + "\n")
+        text = "".join(parts)
+        if rng.random() < 0.3:
+            text = text.rstrip("\n")
+        a, b = _both(tmp_path, text)
+        assert isinstance(b._lens, np.ndarray)
+        _assert_equal(a, b)
+        # the worker-pool variant must give the same ingest
+        p = tmp_path / "f.fa"
+        c = FastaDatabase(str(p), "aa", threads=4)
+        _assert_equal(a, c)
+
+
+def test_windowed_ingestion_fallback(tmp_path, monkeypatch):
+    """A quirk stream in ANY window must fall the whole file back to the
+    exact fgets reader."""
+    monkeypatch.setattr(FastaDatabase, "BULK_WINDOW", 64)
+    text = ">a\nACDEF\n>b\n" + "W" * 200 + "\n>c\n" + \
+        "R" * (LINE_MAX + 10) + "\n>d\nKLM\n"
+    a, b = _both(tmp_path, text)
+    _assert_equal(a, b)

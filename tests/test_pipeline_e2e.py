@@ -906,26 +906,40 @@ def test_batch_align_grid_single_dispatch(monkeypatch):
 
 
 def test_dispatch_retry_masks_transient_failure():
-    """One transient dispatch failure is retried (the failure-recovery
-    extra over the reference's fatal()-only handling); a persistent
-    failure still raises."""
+    """One transient RUNTIME dispatch failure is retried (the
+    failure-recovery extra over the reference's fatal()-only handling);
+    a persistent runtime failure still raises, and a deterministic
+    host-side error type raises immediately without a retry."""
+    import jax
+
     from swipe_tpu.pipeline import _dispatch_with_retry
     calls = {"n": 0}
 
     def flaky(x):
         calls["n"] += 1
         if calls["n"] == 1:
-            raise RuntimeError("transient tunnel drop")
+            raise jax.errors.JaxRuntimeError("transient tunnel drop")
         return x + 1
 
     assert _dispatch_with_retry(flaky, 41) == 42
     assert calls["n"] == 2
 
     def dead(x):
-        raise RuntimeError("deterministic failure")
+        raise jax.errors.JaxRuntimeError("persistent runtime failure")
 
-    with pytest.raises(RuntimeError):
+    with pytest.raises(jax.errors.JaxRuntimeError):
         _dispatch_with_retry(dead, 1)
+
+    # deterministic bugs must NOT pay the retry sleep + redispatch
+    calls["n"] = 0
+
+    def buggy(x):
+        calls["n"] += 1
+        raise ValueError("bad payload shape")
+
+    with pytest.raises(ValueError):
+        _dispatch_with_retry(buggy, 1)
+    assert calls["n"] == 1
 
 
 def test_stream_multichunk_fused_walk_matches_lax():
