@@ -150,9 +150,10 @@ def _build_dprofile(m8_ref, db_ref, dprof_ref):
         else prof.astype(dprof_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "dtype"))
 def build_dprofile_series(matrix8: jax.Array, db: jax.Array, *,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          dtype=None) -> jax.Array:
     """Precompute EVERY block's score profile of a chunk into HBM.
 
     The dprofile depends only on the database block — never on the
@@ -166,11 +167,21 @@ def build_dprofile_series(matrix8: jax.Array, db: jax.Array, *,
     (/root/reference/search7.cc:50-51) — across the whole query batch
     AND across chunks a search revisits.
 
-    Returns [nblocks, 32, KSEG*SUB, nl] (DPROF_DTYPE) for db [L, nseqs];
-    sized ~128x the chunk's bytes, so callers budget HBM windows
+    Returns [nblocks, 32, KSEG*SUB, nl] for db [L, nseqs]; sized ~128x
+    the chunk's bytes (int32), so callers budget HBM windows
     (a 2048-lane block is 4.2 MB; scoring overlaps the per-block DMA
     with ~20 us of row-loop compute, so the stream stays hidden).
+
+    ``dtype`` (default DPROF_DTYPE = int32) selects the profile element
+    type.  int16 halves both the HBM footprint and the kernel's
+    double-buffered VMEM input (2 x 4.2 MB -> 2 x 2.1 MB at 2048 lanes)
+    — the headroom that lets MEMBER-INTERLEAVED kernels fit their
+    doubled H/E row state — at the cost of a half-tile (16-sublane
+    tiling) row load plus one widen per cell.  Scores always fit:
+    profile entries are int8 matrix values.
     """
+    if dtype is None:
+        dtype = DPROF_DTYPE
     L, nseqs = db.shape
     if L % KSEG:
         raise ValueError(f"db length {L} not a multiple of {KSEG}")
@@ -194,7 +205,7 @@ def build_dprofile_series(matrix8: jax.Array, db: jax.Array, *,
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, 32, KSEG * SUB, nl),
-                                       DPROF_DTYPE),
+                                       dtype),
         interpret=interpret,
     )(matrix8, db8)
 
@@ -211,7 +222,7 @@ def _scoring_cell(clamp):
 
 def _make_row_body_multi(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref,
                          dprof_ref, *, members, reset, Q, R, cell,
-                         member_axis):
+                         member_axis, ru=RU):
     """The shared RU-blocked, pre-advanced-E/F stream recurrence, over
     one or more INTERLEAVED query members.
 
@@ -250,7 +261,7 @@ def _make_row_body_multi(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref,
         return (mi, j) if member_axis else j
 
     def row_body(rb, carry):
-        rbase = rb * RU
+        rbase = rb * ru
         bases, qsyms, olds, ehat, diag, accs = [], [], [], [], [], []
         for mi, (qi, qoff, soff) in enumerate(members):
             base = rbase if isinstance(soff, int) and soff == 0 \
@@ -258,26 +269,26 @@ def _make_row_body_multi(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref,
             qb = rbase if isinstance(qoff, int) and qoff == 0 \
                 else qoff + rbase
             bases.append(base)
-            qsyms.append([qc_ref[qi, qb + k] for k in range(RU)])
+            qsyms.append([qc_ref[qi, qb + k] for k in range(ru)])
             if reset is None:
-                ho = [hst_ref[base + k] for k in range(RU)]
-                eh = [est_ref[base + k] for k in range(RU)]
+                ho = [hst_ref[base + k] for k in range(ru)]
+                eh = [est_ref[base + k] for k in range(ru)]
             else:
                 ho = [jnp.where(reset, 0, hst_ref[base + k])
-                      for k in range(RU)]
+                      for k in range(ru)]
                 eh = [jnp.where(reset, NEG_INF, est_ref[base + k])
-                      for k in range(RU)]
+                      for k in range(ru)]
             d0, acc = carry[mi]
             olds.append(ho)
             ehat.append(eh)
-            diag.append([d0] + ho[: RU - 1])
+            diag.append([d0] + ho[: ru - 1])
             accs.append(acc)
         hs = [list(o) for o in olds]
         for j in range(KSEG):
             hprev = [hrow_ref[at(mi, j)] for mi in range(M)]
             fh = [frow_ref[at(mi, j)] for mi in range(M)]
             hs = [[] for _ in range(M)]
-            for k in range(RU):
+            for k in range(ru):
                 for mi in range(M):
                     p = dprof_ref[qsyms[mi][k], j * SUB:(j + 1) * SUB]
                     if p.dtype != jnp.int32:
@@ -292,12 +303,12 @@ def _make_row_body_multi(qc_ref, hst_ref, est_ref, hrow_ref, frow_ref,
             for mi in range(M):
                 hrow_ref[at(mi, j)] = hs[mi][-1]
                 frow_ref[at(mi, j)] = fh[mi]
-                diag[mi] = [hprev[mi]] + hs[mi][: RU - 1]
+                diag[mi] = [hprev[mi]] + hs[mi][: ru - 1]
         for mi in range(M):
-            for k in range(RU):
+            for k in range(ru):
                 hst_ref[bases[mi] + k] = hs[mi][k]
                 est_ref[bases[mi] + k] = ehat[mi][k]
-        return tuple((olds[mi][RU - 1], accs[mi]) for mi in range(M))
+        return tuple((olds[mi][ru - 1], accs[mi]) for mi in range(M))
 
     return row_body
 
@@ -391,8 +402,9 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
 
 def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
                    Q: int, R: int, clamp: int | None,
-                   dprof_in: bool = False):
-    """One (query, db-block) grid step of the CARRY variant
+                   dprof_in: bool = False, minter: int = 1,
+                   qlen_pad: int = 0, ru: int = RU):
+    """One (query-tuple, db-block) grid step of the CARRY variant
     (sw_scores_stream_carry; the plain path uses _stream_kernel_grouped).
 
     With ``dprof_in`` the block profile arrives as a pipelined INPUT
@@ -400,12 +412,22 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     — the build was the entire measured fixed cost (see
     build_dprofile_series).
 
+    ``minter`` members (consecutive queries of the batch) run
+    INTERLEAVED per grid step (_make_row_body_multi): the DP recurrence
+    is latency-bound on the VPU, so M members x (NL/128) vregs of
+    independent chains approach the 4-chain issue rate — and because the
+    members share ONE pass over the chunk, a drain chunk's mandatory
+    1024-lane width is paid once per M queries of a stream instead of
+    per query (the round-4 flow-series amortization; the reference's
+    refill machine never idles a lane, search7.cc:830-957, but its lanes
+    are per-query too — this lever has no x86 analog).
+
     db_ref:    [KSEG*SUB, NL] int8 — column j's symbols are rows j*8..j*8+7
     start_ref: [1, SUB, NL] int32 — 1 where the lane starts a new sequence
-    out_ref:   [1, 1, SUB, NL] int32 — per-lane running max after this block
-    hst/est:   [QLEN, SUB, NL] int32 — H/E at the last processed column
-    hrow/frow: [KSEG, SUB, NL] int32 — previous query row's H/F per column
-    dprof_ref: [32, KSEG*SUB, NL] int32 block score profile
+    out_ref:   [minter, 1, SUB, NL] int32 — per-lane running max per member
+    hst/est:   [minter*QLEN, SUB, NL] int32 — H/E at the last column
+    hrow/frow: [minter, KSEG, SUB, NL] int32 — previous row's H/F per column
+    dprof_ref: [32, KSEG*SUB, NL] block score profile (int32 or int16)
 
     The per-lane DP state (H/E per query row + running S) enters and
     leaves through HBM instead of being zero-initialized: at block 0 it
@@ -423,18 +445,26 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
         (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
          hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
          dprof_ref, dma_sem) = rest
-    qi = pl.program_id(0)
+    qp = pl.program_id(0)
     b = pl.program_id(1)
     nl = db_ref.shape[1]
+    qis = [qp * minter + mi for mi in range(minter)]
 
     @pl.when(b == 0)
     def _load():
-        cps = [pltpu.make_async_copy(hin_ref.at[qi], hst_ref,
-                                     dma_sem.at[0]),
-               pltpu.make_async_copy(ein_ref.at[qi], est_ref,
-                                     dma_sem.at[1]),
-               pltpu.make_async_copy(sin_ref.at[qi], s_ref,
-                                     dma_sem.at[2])]
+        cps = []
+        for mi, qi in enumerate(qis):
+            lo = mi * qlen_pad
+            cps += [pltpu.make_async_copy(
+                        hin_ref.at[qi],
+                        hst_ref.at[lo:lo + qlen_pad] if minter > 1
+                        else hst_ref, dma_sem.at[mi, 0]),
+                    pltpu.make_async_copy(
+                        ein_ref.at[qi],
+                        est_ref.at[lo:lo + qlen_pad] if minter > 1
+                        else est_ref, dma_sem.at[mi, 1]),
+                    pltpu.make_async_copy(sin_ref.at[qi], s_ref.at[mi],
+                                          dma_sem.at[mi, 2])]
         for cp in cps:
             cp.start()
         for cp in cps:
@@ -449,27 +479,42 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     hrow_ref[...] = jnp.zeros_like(hrow_ref)
     frow_ref[...] = jnp.full_like(frow_ref, NEG_INF)
 
-    qlen = ql_ref[qi]
-    row_body = _make_row_body(
+    # members share the row-loop trip count (max qlen); a shorter
+    # member's extra rows see the PAD profile and decay (every PAD-row H
+    # descends from a real-row H minus positive penalties, so it can
+    # never raise that member's running max or poison its carried state)
+    qlen = ql_ref[qis[0]]
+    for qi in qis[1:]:
+        qlen = jnp.maximum(qlen, ql_ref[qi])
+    members = [(qis[mi], 0, mi * qlen_pad) for mi in range(minter)]
+    row_body = _make_row_body_multi(
         qc_ref, hst_ref, est_ref, hrow_ref, frow_ref, dprof_ref,
-        qi=qi, qoff=0, soff=0, reset=reset, Q=Q, R=R,
-        cell=_scoring_cell(clamp))
-    nrb = (qlen + RU - 1) // RU
-    _, s = jax.lax.fori_loop(
-        0, nrb, row_body,
-        (jnp.zeros((SUB, nl), jnp.int32),
-         jnp.where(reset, 0, s_ref[...])))
-    s_ref[...] = s
-    out_ref[0, 0] = s
+        members=members, reset=reset, Q=Q, R=R,
+        cell=_scoring_cell(clamp), member_axis=True, ru=ru)
+    nrb = (qlen + ru - 1) // ru
+    init = tuple((jnp.zeros((SUB, nl), jnp.int32),
+                  jnp.where(reset, 0, s_ref[mi]))
+                 for mi in range(minter))
+    final = jax.lax.fori_loop(0, nrb, row_body, init)
+    for mi in range(minter):
+        s_ref[mi] = final[mi][1]
+        out_ref[mi, 0] = final[mi][1]
 
     @pl.when(b == pl.num_programs(1) - 1)
     def _store():
-        cps = [pltpu.make_async_copy(hst_ref, hout_ref.at[qi],
-                                     dma_sem.at[0]),
-               pltpu.make_async_copy(est_ref, eout_ref.at[qi],
-                                     dma_sem.at[1]),
-               pltpu.make_async_copy(s_ref, sout_ref.at[qi],
-                                     dma_sem.at[2])]
+        cps = []
+        for mi, qi in enumerate(qis):
+            lo = mi * qlen_pad
+            cps += [pltpu.make_async_copy(
+                        hst_ref.at[lo:lo + qlen_pad] if minter > 1
+                        else hst_ref,
+                        hout_ref.at[qi], dma_sem.at[mi, 0]),
+                    pltpu.make_async_copy(
+                        est_ref.at[lo:lo + qlen_pad] if minter > 1
+                        else est_ref,
+                        eout_ref.at[qi], dma_sem.at[mi, 1]),
+                    pltpu.make_async_copy(s_ref.at[mi], sout_ref.at[qi],
+                                          dma_sem.at[mi, 2])]
         for cp in cps:
             cp.start()
         for cp in cps:
@@ -662,7 +707,8 @@ def make_stream_state(nq: int, qlen_pad: int, nseqs: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gapopenextend", "gapextend", "clamp", "interpret"),
+    static_argnames=("gapopenextend", "gapextend", "clamp", "interpret",
+                     "minter", "ru"),
 )
 def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
                            matrix8: jax.Array, db: jax.Array,
@@ -670,7 +716,8 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
                            s: jax.Array, *, gapopenextend: int,
                            gapextend: int, clamp: int | None = None,
                            interpret: bool = False,
-                           dprof: jax.Array | None = None):
+                           dprof: jax.Array | None = None,
+                           minter: int = 1, ru: int = RU):
     """sw_scores_stream over ONE chunk of a pack_stream_carry series.
 
     h/e: [NQ, QLEN, SUB, NL] int32, s: [NQ, SUB, NL] int32 — the per-lane
@@ -689,8 +736,20 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     per block instead of rebuilt per (query, block); the build is the
     kernel's entire measured fixed cost, so passing it lifts the
     single-query rate to ~98% of the VPU ceiling.
+
+    ``minter``: interleave this many consecutive queries per grid step
+    (NQ must be a multiple).  The DP is latency-bound, so a query STREAM
+    running minter=2 at 2048 lanes (4 chains) or minter=4 at 1024 lanes
+    approaches the 4-chain issue rate — and a flow series' drain chunks
+    (mandatory 1024-lane width for a handful of tail chains) are walked
+    once per minter queries instead of once per query.  VMEM: the H/E
+    scratch scales with minter x qlen_pad rows; at 2048 lanes pass an
+    int16 ``dprof`` so the halved profile buffers make room (measured
+    round 4 on v5e — see BASELINE.md MFU table).
     """
     nq, qlen_pad = qcodes.shape
+    if nq % minter:
+        raise ValueError(f"NQ {nq} not a multiple of minter={minter}")
     db, start, nseqs = _pad_to_state_width(db, start,
                                            h.shape[2] * h.shape[3])
     L = db.shape[0]
@@ -698,8 +757,8 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
         raise ValueError(f"db length {L} not a multiple of {KSEG}")
     if nseqs % (SUB * 128):
         raise ValueError(f"NSEQS {nseqs} not a multiple of {SUB * 128}")
-    if qlen_pad % RU:
-        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of RU={RU}")
+    if qlen_pad % ru:
+        raise ValueError(f"qlen_pad {qlen_pad} not a multiple of ru={ru}")
     nl = nseqs // SUB
     nblocks = L // KSEG
     db8 = db.reshape(L, SUB, nl).reshape(L * SUB, nl)
@@ -710,7 +769,8 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
 
     kernel = functools.partial(
         _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp,
-        dprof_in=dprof is not None)
+        dprof_in=dprof is not None, minter=minter, qlen_pad=qlen_pad,
+        ru=ru)
 
     in_specs = [
         pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
@@ -731,22 +791,23 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
     inputs += [h, e, s]
     scratch = [
-        pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
-        pltpu.VMEM((qlen_pad, SUB, nl), jnp.int32),
-        pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
-        pltpu.VMEM((KSEG, SUB, nl), jnp.int32),
-        pltpu.VMEM((SUB, nl), jnp.int32),
+        pltpu.VMEM((minter * qlen_pad, SUB, nl), jnp.int32),
+        pltpu.VMEM((minter * qlen_pad, SUB, nl), jnp.int32),
+        pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
+        pltpu.VMEM((minter, KSEG, SUB, nl), jnp.int32),
+        pltpu.VMEM((minter, SUB, nl), jnp.int32),
     ]
     if dprof is None:
         scratch.append(pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE))
-    scratch.append(pltpu.SemaphoreType.DMA((3,)))
+    scratch.append(pltpu.SemaphoreType.DMA((minter, 3)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nq, nblocks),
+        grid=(nq // minter, nblocks),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1, SUB, nl), lambda q, b, *_: (q, b, 0, 0),
+            pl.BlockSpec((minter, 1, SUB, nl),
+                         lambda q, b, *_: (q, b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),

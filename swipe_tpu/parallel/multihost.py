@@ -8,7 +8,8 @@ hit to a slave that recomputes the alignment and streams dseq / coords /
 op-string / header back (:2336-2411).  Every rank opens the database
 itself over a shared filesystem.
 
-The TPU-native equivalent here is SPMD over a global device mesh:
+The TPU-native equivalent here keeps the collectives ON-CHIP and the
+host skew OFF the critical path:
 
 * every host process calls :func:`init_multihost`
   (``jax.distributed.initialize``) and opens the database itself;
@@ -16,12 +17,24 @@ The TPU-native equivalent here is SPMD over a global device mesh:
   to volume boundaries when the BLAST db has several volumes
   (:func:`split_seqnos`) — unit numbering stays GLOBAL
   (``Database.unit_metas``), so merged results are host-independent;
-* each host lane-packs only its shard (``batching.pack_stream``) and the
-  per-round chunk rides a global array sharded over the mesh's "db"
-  axis; one jitted shard_map step scores it, reduces each device's
-  scores to a top-K (score desc, unit desc — the hit list's tie order),
-  and merges with ``all_gather`` while ``psum`` carries the totalhits /
-  obvious / tier counters — replacing tag_search_report + tag_stats;
+* each host lane-packs and scores its shard LOCALLY: one jitted
+  shard_map step per chunk over the host's OWN device mesh — the
+  scoring ``all_gather``/``psum`` ride ICI, never DCN — reducing each
+  chunk to a per-slot top-K (score desc, unit desc — the hit list's tie
+  order) plus totalhits / obvious / tier counters;
+* hosts run at their own pace (no per-chunk cross-host barrier — the
+  round-lockstep design this replaces made every host pay the slowest
+  host's kernel time every round); the reduced per-chunk payloads are
+  exchanged ONCE per search with a byte-allgather over DCN and entered
+  by every host in (rank, chunk) order — replacing
+  tag_search_report + tag_stats;
+* host-speed skew (a contended host on a shared pod) is absorbed by
+  DYNAMIC work assignment (:func:`assign_ranges`): each host scores a
+  first wave (~1/4 of its static shard) while timing itself, the
+  measured residues/second ride one tiny allgather, and every host
+  deterministically recomputes the remaining assignment proportional to
+  measured speed — the static-SPMD replacement for the reference
+  master's on-demand chunk handout (swipe.cc:1335-1362, 1883-1994);
 * the align phase routes each kept hit to the host owning its sequence
   (``HitList.fill_hit``), and the filled hits are exchanged with one
   byte-allgather — replacing the per-hit tag_align message quartet.
@@ -31,6 +44,9 @@ the report (the CLI wires this through ``--mh-procs/--mh-rank/
 --mh-coord``, and the N-process CPU test asserts byte-identical output
 vs the single-process run — modulo the volatile timing/speed lines, on
 the lax backend; real-chip multi-host hardware is not available here).
+Output bytes are independent of the wave assignment: the scored union
+is always the whole database and the merge is exact, so the measured
+speeds only move WHERE work runs, never what is reported.
 
 Chromosome-scale sequences compose with multi-host: units longer than
 ``max_cols`` are excluded from the owning host's lane pack and stream
@@ -50,7 +66,8 @@ import numpy as np
 
 from ..pipeline import SearchEngine, reverse_tie_order
 
-__all__ = ["init_multihost", "split_seqnos", "MultiHostEngine"]
+__all__ = ["init_multihost", "split_seqnos", "assign_ranges",
+           "MultiHostEngine"]
 
 
 def init_multihost(coordinator: str, num_processes: int, process_id: int,
@@ -123,6 +140,52 @@ def split_seqnos(db, n_hosts: int, *,
     cuts = list(np.maximum.accumulate(cuts))
     cuts[n_hosts] = total
     return list(zip(cuts[:-1], cuts[1:]))
+
+
+def assign_ranges(segments: list[tuple[int, int]], weights: np.ndarray,
+                  cum: np.ndarray) -> list[list[tuple[int, int]]]:
+    """Cut a list of seqno segments into per-host pieces by weight.
+
+    ``segments`` are disjoint ascending [lo, hi) seqno ranges (the
+    hosts' unscored remainders), ``cum`` the database's cumulative
+    residue curve (_db_cumlens), ``weights`` one positive speed per host
+    (residues/second measured on the first wave).  Returns, per host, a
+    list of [lo, hi) pieces whose residue mass is proportional to its
+    weight — every host derives the identical assignment from the same
+    allgathered weights, so no further coordination is needed (the
+    static-SPMD form of the reference master's dynamic chunk handout,
+    /root/reference/swipe.cc:1335-1362).
+    """
+    n = len(weights)
+    w = np.asarray(weights, dtype=np.float64)
+    w = np.where(w > 0, w, w[w > 0].mean() if (w > 0).any() else 1.0)
+    seg_res = np.array([cum[hi] - cum[lo] for lo, hi in segments],
+                       dtype=np.float64)
+    total = seg_res.sum()
+    if total <= 0:
+        return [[] for _ in range(n)]
+    targets = np.cumsum(w / w.sum()) * total     # host h ends at targets[h]
+    out: list[list[tuple[int, int]]] = [[] for _ in range(n)]
+    h = 0
+    done = 0.0
+    for (lo, hi) in segments:
+        while lo < hi:
+            # advance past hosts whose quota is already filled
+            while h < n - 1 and done >= targets[h] - 0.5:
+                h += 1
+            if h == n - 1:
+                out[h].append((lo, hi))
+                done += cum[hi] - cum[lo]
+                break
+            # largest prefix of [lo, hi) fitting host h's quota
+            room = targets[h] - done
+            cut = int(np.searchsorted(cum, cum[lo] + room,
+                                      side="right")) - 1
+            cut = max(lo + 1, min(cut, hi))
+            out[h].append((lo, cut))
+            done += cum[cut] - cum[lo]
+            lo = cut
+    return out
 
 
 def _pick_stream_mode(use_pallas: bool, lpd: int, qlen_pad: int
@@ -209,6 +272,13 @@ class MultiHostEngine(SearchEngine):
     (scores, counters, headers, alignments); rank 0 typically renders.
     """
 
+    # first-wave share of each host's static shard: measured while timed,
+    # the remainder is reassigned by measured speed (assign_ranges)
+    WAVE1_FRAC = 0.25
+    # speed skew below this keeps the static residue-proportional split
+    # (avoids repacking noise when hosts are in fact symmetric)
+    REBALANCE_TOL = 1.15
+
     def __init__(self, db, params, *, nseqs: int | None = None,
                  max_cols: int | None = None, backend: str = "auto"):
         import jax
@@ -217,7 +287,11 @@ class MultiHostEngine(SearchEngine):
         self._n_local = len(jax.local_devices())
         self._n_dev = len(jax.devices())
         from jax.sharding import Mesh
-        self._mesh = Mesh(np.asarray(jax.devices()).reshape(-1), ("db",))
+        # scoring mesh = THIS host's devices: the per-chunk all_gather /
+        # psum ride ICI; cross-host traffic is one byte-allgather of
+        # reduced payloads per search phase (DCN)
+        self._mesh = Mesh(np.asarray(jax.local_devices()).reshape(-1),
+                          ("db",))
         # slim init (the base validates nseqs against single-chip
         # STREAM_CONFIGS; here lanes scale with the local device count)
         self.db = db
@@ -237,25 +311,29 @@ class MultiHostEngine(SearchEngine):
 
     def _pack(self, nseqs: int, max_cols: int) -> None:
         symtype = self.params.symtype
+        # lanes per host must split evenly over the host's devices
+        if nseqs % self._n_local:
+            nseqs += self._n_local - nseqs % self._n_local
+        self._nseqs_local = nseqs
+        self._max_cols = max_cols
         self.unit_meta = self.db.unit_metas(symtype)      # GLOBAL numbering
+        self._cum = _db_cumlens(self.db)
         self._ranges = split_seqnos(self.db, self._nproc)
         lo, hi = self._ranges[self._pid]
-        um = self.unit_meta
-        self._local_unit_ids = np.nonzero(
-            (um[:, 0] >= lo) & (um[:, 0] < hi))[0].astype(np.int64)
-        self._local_seqs = [
-            u.codes for u in self.db.search_units(symtype, (lo, hi))]
-        assert len(self._local_seqs) == len(self._local_unit_ids)
-        # units longer than one chunk stream through this host's local
-        # carry series rather than stretching the lane pack (the same
-        # normal/giant split as the single-host engine)
-        lens = np.array([len(s) for s in self._local_seqs], dtype=np.int64)
-        giant = np.nonzero(lens > max_cols)[0]
-        normal = np.nonzero(lens <= max_cols)[0]
-        self._giant_ids = self._local_unit_ids[giant]
-        self._giant_seqs = [self._local_seqs[i] for i in giant]
-        self._local_unit_ids = self._local_unit_ids[normal]
-        self._local_seqs = [self._local_seqs[i] for i in normal]
+        # GIANT units (len > max_cols) stay with the STATIC owner (they
+        # stream through its bounded local carry series); every host
+        # excludes them from lane packs by the same length test, so
+        # dynamic reassignment can never double-score one
+        self._load_units(lo, hi, keep_giants=True)
+        # wave split: deterministic from the residue curve, so every
+        # host knows every other host's unscored remainder without
+        # communication
+        self._wave_splits = []
+        for (rlo, rhi) in self._ranges:
+            target = self._cum[rlo] + self.WAVE1_FRAC * (
+                self._cum[rhi] - self._cum[rlo])
+            w = int(np.searchsorted(self._cum, target, side="left"))
+            self._wave_splits.append(min(max(w, rlo), rhi))
         # caches the giant-unit routes reach through the base class
         # (_iter_carry_scores -> _iter_segmented_giants/_seg_giant_chunks)
         self._carry_packs = {}
@@ -263,20 +341,45 @@ class MultiHostEngine(SearchEngine):
         self._dev_stream = {}
         self._seg_packs = {}
         self._dev_seg = {}
-        # lanes per host must split evenly over the host's devices
-        if nseqs % self._n_local:
-            nseqs += self._n_local - nseqs % self._n_local
-        self._nseqs_local = nseqs
-        self._max_cols = max_cols
-        self._mh_chunks = None
+        self._wave1_chunks = None
 
-    def _local_chunks(self):
+    def _load_units(self, lo: int, hi: int, *, keep_giants: bool):
+        """Decode [lo, hi)'s units; NORMAL units go to (ids, seqs);
+        giants are kept as this host's carry-series work only when it is
+        the static owner."""
+        symtype = self.params.symtype
+        um = self.unit_meta
+        ids = np.nonzero(
+            (um[:, 0] >= lo) & (um[:, 0] < hi))[0].astype(np.int64)
+        seqs = [u.codes for u in self.db.search_units(symtype, (lo, hi))]
+        assert len(seqs) == len(ids)
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        giant = np.nonzero(lens > self._max_cols)[0]
+        normal = np.nonzero(lens <= self._max_cols)[0]
+        if keep_giants:
+            self._giant_ids = ids[giant]
+            self._giant_seqs = [seqs[i] for i in giant]
+        return ids[normal], [seqs[i] for i in normal]
+
+    def _pack_ranges(self, pieces: list[tuple[int, int]]):
+        """Lane-pack the NORMAL units of a list of seqno ranges."""
         from ..batching import pack_stream
-        if self._mh_chunks is None:
-            self._mh_chunks = pack_stream(
-                self._local_seqs, nseqs=self._nseqs_local,
-                max_cols=self._max_cols, seqnos=self._local_unit_ids)
-        return self._mh_chunks
+        all_ids, all_seqs = [], []
+        for (lo, hi) in pieces:
+            ids, seqs = self._load_units(lo, hi, keep_giants=False)
+            all_ids.append(ids)
+            all_seqs.extend(seqs)
+        ids = np.concatenate(all_ids) if all_ids else \
+            np.zeros(0, dtype=np.int64)
+        return pack_stream(all_seqs, nseqs=self._nseqs_local,
+                           max_cols=self._max_cols, seqnos=ids)
+
+    def _local_wave1(self):
+        if self._wave1_chunks is None:
+            lo, _ = self._ranges[self._pid]
+            self._wave1_chunks = self._pack_ranges(
+                [(lo, self._wave_splits[self._pid])])
+        return self._wave1_chunks
 
     # ---- search -------------------------------------------------------------
 
@@ -314,9 +417,12 @@ class MultiHostEngine(SearchEngine):
         return hitlists
 
     def _mh_search(self, slots, timings):
+        import sys
+        import time as _time
+
         import jax
         import jax.experimental.multihost_utils as mhu
-        import jax.numpy as jnp
+        import jax.numpy as jnp  # noqa: F401 (kept for parity with base)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from ..ops.sw_pallas import PAD_SYMBOL
@@ -328,21 +434,6 @@ class MultiHostEngine(SearchEngine):
                       and lpd % 1024 == 0)
         qlen_pad = max(128, -(-max(len(s[3]) for s in slots) // 128) * 128)
         mode, qlen_pad = _pick_stream_mode(use_pallas, lpd, qlen_pad)
-
-        chunks = self._local_chunks()
-        # round metadata sync: every host advances through the same
-        # number of rounds with agreed (column, coordinate) widths
-        nrounds = int(mhu.process_allgather(
-            np.array([len(chunks)], np.int64)).max())
-        meta_local = np.zeros((nrounds, 2), np.int64)
-        for r, ch in enumerate(chunks):
-            dev = ch.lane // lpd
-            mdev = int(np.bincount(dev, minlength=self._n_local).max()) \
-                if len(ch.lane) else 0
-            meta_local[r] = (ch.n_cols, mdev)
-        meta = mhu.process_allgather(meta_local)   # [n_hosts, nrounds, 2]
-        round_cols = meta[:, :, 0].max(axis=0)
-        round_m = np.maximum(meta[:, :, 1].max(axis=0), 1)
 
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
         # the lax twin scores any int32 matrix; the Pallas kernel needs
@@ -357,55 +448,99 @@ class MultiHostEngine(SearchEngine):
              for s in slots], np.int32)
         kbase = max(s[0].keephits for s in slots) + 64
 
-        mesh = self._mesh
+        mesh = self._mesh                      # LOCAL devices only
         rep = NamedSharding(mesh, P())
         sh_lanes = NamedSharding(mesh, P(None, "db"))
         sh_dev = NamedSharding(mesh, P("db", None))
         mk = jax.make_array_from_process_local_data
-        qc_g = mk(rep, qc)
-        ql_g = mk(rep, ql)
-        m8_g = mk(rep, m8)
-        thr_g = mk(rep, thr)
-        upper_g = mk(rep, upper)
+        args_rep = (mk(rep, qc), mk(rep, ql), mk(rep, m8),
+                    mk(rep, thr), mk(rep, upper))
         step = _mh_step(mesh, p.gapopenextend, p.gapextend, kbase,
                         self.matrix.scorelimit_7, self.matrix.scorelimit_16,
                         mode)
+        # test-only fault injection: a deliberately slowed rank for the
+        # dynamic-balance test (subprocess CLI runs cannot monkeypatch)
+        import os
+        slow = (os.environ.get("SWIPE_TPU_TEST_SLOW_RANK", "") ==
+                str(self._pid))
+        chunk_sleep = float(os.environ.get(
+            "SWIPE_TPU_TEST_CHUNK_SLEEP", "0")) if slow else 0.0
 
-        n_lanes_g = self._nproc * self._nseqs_local
-        for r in range(nrounds):
-            L = int(round_cols[r])
-            M = int(round_m[r])
+        def score_chunk(ch):
+            """One local chunk -> (top, units, totalh, obvious, n16,
+            n63, cells) jax arrays (device top-K over the local mesh)."""
+            if chunk_sleep:
+                _time.sleep(chunk_sleep)
+            L = ch.n_cols
+            M = max(int(np.bincount(ch.lane // lpd,
+                                    minlength=self._n_local).max())
+                    if len(ch.lane) else 0, 1)
             data = np.full((L, self._nseqs_local), PAD_SYMBOL, np.int8)
             start = np.zeros((L // 16, self._nseqs_local), np.int8)
             eb = np.zeros((self._n_local, M), np.int32)
             ln = np.zeros((self._n_local, M), np.int32)
             un = np.full((self._n_local, M), -1, np.int64)
-            if r < len(chunks):
-                ch = chunks[r]
-                data[: ch.n_cols] = ch.data
-                start[: ch.n_cols // 16] = ch.start
-                dev = ch.lane // lpd
-                for d in range(self._n_local):
-                    g = np.nonzero(dev == d)[0]
-                    # reverse tie preference per device — required by the
-                    # reversed-top_k selection in the step (same invariant
-                    # as pipeline._dev_stream_chunks)
-                    g = g[reverse_tie_order(self.unit_meta[ch.seqnos[g]])]
-                    eb[d, : len(g)] = ch.end_block[g]
-                    ln[d, : len(g)] = ch.lane[g] - d * lpd
-                    un[d, : len(g)] = ch.seqnos[g]
-            top, units, totalh, obvious, n16, n63, cells = step(
-                qc_g, ql_g, m8_g,
-                mk(sh_lanes, data, global_shape=(L, n_lanes_g)),
-                mk(sh_lanes, start.astype(np.int32),
-                   global_shape=(L // 16, n_lanes_g)),
-                mk(sh_dev, eb, global_shape=(self._n_dev, M)),
-                mk(sh_dev, ln, global_shape=(self._n_dev, M)),
-                mk(sh_dev, un, global_shape=(self._n_dev, M)),
-                thr_g, upper_g)
-            self._mh_enter(slots, np.asarray(top), np.asarray(units),
-                           np.asarray(totalh), np.asarray(obvious),
-                           int(n16), int(n63), int(cells), timings)
+            data[: ch.n_cols] = ch.data
+            start[: ch.n_cols // 16] = ch.start
+            dev = ch.lane // lpd
+            for d in range(self._n_local):
+                g = np.nonzero(dev == d)[0]
+                # reverse tie preference per device — required by the
+                # reversed-top_k selection in the step (same invariant
+                # as pipeline._dev_stream_chunks)
+                g = g[reverse_tie_order(self.unit_meta[ch.seqnos[g]])]
+                eb[d, : len(g)] = ch.end_block[g]
+                ln[d, : len(g)] = ch.lane[g] - d * lpd
+                un[d, : len(g)] = ch.seqnos[g]
+            return step(*args_rep[:3],
+                        mk(sh_lanes, data),
+                        mk(sh_lanes, start.astype(np.int32)),
+                        mk(sh_dev, eb), mk(sh_dev, ln), mk(sh_dev, un),
+                        *args_rep[3:])
+
+        # ---- wave 1: static quarter-shard, timed --------------------------------
+        wave1 = self._local_wave1()
+        payloads = []
+        t0 = _time.time()
+        for ch in wave1:
+            payloads.append(score_chunk(ch))
+        if payloads:
+            jax.block_until_ready(payloads[-1])
+        t1 = max(_time.time() - t0, 1e-6)
+        lo, hi = self._ranges[self._pid]
+        w = self._wave_splits[self._pid]
+        res1 = float(self._cum[w] - self._cum[lo])
+        # host sleep injection models contention: fold it into the speed
+        speed = res1 / t1 if res1 > 0 else 0.0
+
+        # ---- rebalance: measured speeds -> deterministic reassignment ----------
+        speeds = np.asarray(mhu.process_allgather(
+            np.array([speed], np.float64))).reshape(self._nproc)
+        segments = [(int(self._wave_splits[h]), int(self._ranges[h][1]))
+                    for h in range(self._nproc)]
+        segments = [(a, b) for a, b in segments if b > a]
+        pos = speeds[speeds > 0]
+        skewed = pos.size > 1 and pos.max() > self.REBALANCE_TOL * pos.min()
+        if skewed:
+            mine = assign_ranges(segments, speeds, self._cum)[self._pid]
+        else:
+            mine = [(w, hi)] if hi > w else []
+        got = sum(self._cum[b] - self._cum[a] for a, b in mine)
+        print(f"swipe_tpu multihost: rank {self._pid} wave2 residues "
+              f"{int(got)} (speed {speed:.0f}/s, "
+              f"{'dynamic' if skewed else 'static'})", file=sys.stderr)
+
+        # ---- wave 2: reassigned remainder ---------------------------------------
+        for ch in self._pack_ranges(mine):
+            payloads.append(score_chunk(ch))
+
+        # ---- one DCN exchange of the reduced payloads ---------------------------
+        local = [tuple(np.asarray(x) for x in pl) for pl in payloads]
+        for blob in _allgather_bytes(pickle.dumps(local)):
+            for top, units, totalh, obvious, n16, n63, cells in \
+                    pickle.loads(blob):
+                self._mh_enter(slots, top, units, totalh, obvious,
+                               int(n16), int(n63), int(cells), timings)
         self._mh_score_giants(
             slots, qlen_pad, timings,
             kind="stream" if use_pallas else "lax")

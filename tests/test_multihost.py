@@ -47,13 +47,15 @@ def _run_single(args) -> str:
     return buf.getvalue()
 
 
-def _run_multi(tmp_path, args, nproc=2, backend="lax") -> str:
+def _run_multi(tmp_path, args, nproc=2, backend="lax",
+               extra_env=None, want_errs=False):
     port = _free_port()
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env.pop("SWIPE_TPU_NO_COMPILE_CACHE", None)
+    env.update(extra_env or {})
     procs = []
     outfile = tmp_path / "multi.txt"
     for r in range(nproc):
@@ -68,8 +70,10 @@ def _run_multi(tmp_path, args, nproc=2, backend="lax") -> str:
     errs = []
     for p in procs:
         _, err = p.communicate(timeout=300)
-        errs.append(err.decode()[-2000:])
+        errs.append(err.decode()[-4000:])
         assert p.returncode == 0, errs
+    if want_errs:
+        return outfile.read_text(), errs
     return outfile.read_text()
 
 
@@ -385,3 +389,60 @@ def test_pick_stream_mode_routes_long_queries():
     assert _pick_stream_mode(True, 2048, 640) == ("stream_long", 1024)
     mode, pad = _pick_stream_mode(True, 1024, 1152)
     assert mode == "stream_long" and pad % 512 == 0 and pad >= 1152
+
+
+def test_multihost_slow_rank_dynamic_rebalance(mh_db, tmp_path):
+    """A deliberately slowed rank (sleep injected per local chunk via the
+    test-only env hook) must (a) produce byte-identical output — the
+    scored union and exact merge are assignment-independent — and
+    (b) receive a SMALLER wave-2 share than the healthy rank: the
+    measured-speed reassignment (assign_ranges) is the replacement for
+    the reference master's dynamic chunk handout
+    (/root/reference/swipe.cc:1335-1362, 1883-1994)."""
+    args = ["-p", "blastp", "-m", "9", "-d", str(mh_db / "db.fa"),
+            "-i", str(mh_db / "qp.fa")]
+    single = _normalize(_run_single(args))
+    multi, errs = _run_multi(
+        mh_db, args, nproc=2, want_errs=True,
+        extra_env={"SWIPE_TPU_TEST_SLOW_RANK": "0",
+                   "SWIPE_TPU_TEST_CHUNK_SLEEP": "1.5"})
+    assert _normalize(multi) == single
+    shares = {}
+    for err in errs:
+        m = re.search(r"rank (\d+) wave2 residues (\d+) .*dynamic", err)
+        assert m, err
+        shares[int(m.group(1))] = int(m.group(2))
+    # the slowed rank 0 must get strictly less than the healthy rank 1
+    assert shares[0] < shares[1], shares
+
+
+def test_assign_ranges_proportional():
+    """assign_ranges cuts the remaining seqno segments proportionally to
+    the measured speeds, preserves segment order, and covers every seqno
+    exactly once (any assignment yields identical output; coverage is
+    the correctness invariant)."""
+    from swipe_tpu.parallel.multihost import assign_ranges
+    rng = np.random.default_rng(3)
+    lens = rng.integers(1, 500, size=200)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    segments = [(10, 90), (120, 200)]
+    out = assign_ranges(segments, np.array([1.0, 3.0]), cum)
+    # coverage: the union of pieces == the union of segments, disjoint
+    all_pieces = [p for host in out for p in host]
+    covered = sorted(all_pieces)
+    flat = []
+    for lo, hi in covered:
+        assert hi > lo
+        flat.extend(range(lo, hi))
+    want = [s for lo, hi in segments for s in range(lo, hi)]
+    assert flat == want
+    # proportionality: host 1 (3x speed) gets ~3x the residues
+    res = [sum(cum[b] - cum[a] for a, b in host) for host in out]
+    total = sum(res)
+    assert abs(res[1] / total - 0.75) < 0.1, res
+    # degenerate: zero-speed host falls back to mean weight
+    out2 = assign_ranges(segments, np.array([0.0, 1.0]), cum)
+    res2 = [sum(cum[b] - cum[a] for a, b in host) for host in out2]
+    assert sum(res2) == total
+    # empty segments
+    assert assign_ranges([], np.array([1.0, 1.0]), cum) == [[], []]

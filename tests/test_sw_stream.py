@@ -532,3 +532,59 @@ def test_stream_flow_matches_oracle_lax():
                               jnp.asarray(ch.lane)))[0]
     want = sw_numpy_many(q, seqs, m62.matrix, 11, 1)
     assert np.array_equal(got, want)
+
+
+def test_stream_carry_minter_matches_oracle(m62):
+    """Member-interleaved carry kernel (minter=2/4): consecutive queries
+    of the batch share one pass over every chunk; scores and the carried
+    state must equal the single-member walk exactly — including members
+    of DIFFERENT lengths (a shorter member's overhang rows ride the PAD
+    profile) and a flow series with lane permutes between chunks."""
+    import jax.numpy as jnp
+
+    from swipe_tpu.batching import pack_stream_flow
+    from swipe_tpu.ops.sw_stream import (build_dprofile_series,
+                                         make_stream_state,
+                                         permute_stream_state,
+                                         sw_scores_stream_carry)
+    rng = np.random.default_rng(33)
+    queries = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+               for L in (60, 23, 41, 64)]
+    seqs = [rng.integers(1, 26, size=int(L), dtype=np.int8)
+            for L in [900, 500] + list(rng.integers(1, 150, size=700))]
+    chunks = pack_stream_flow(seqs, nseqs=1024, max_cols=128,
+                              drain_cols=64)
+    assert len(chunks) >= 3
+    want = np.stack([sw_numpy_many(q, seqs, m62.matrix, 11, 1)
+                     for q in queries])
+    qc, ql = build_qcodes(queries, 64)
+    m8 = build_matrix8(m62.matrix)
+
+    for minter, dpdtype in ((2, None), (4, jnp.int16)):
+        got = np.zeros((4, len(seqs)), dtype=np.int64)
+        h = e = s = None
+        for i, ch in enumerate(chunks):
+            if i == 0:
+                h, e, s = make_stream_state(4, 64, 1024)
+            else:
+                h, e, s = permute_stream_state(h, e, s,
+                                               jnp.asarray(ch.carry_src))
+            dp = None
+            if dpdtype is not None:
+                # profiles are built at the STATE's lane width (the
+                # kernel PAD-expands compact chunks on device)
+                from swipe_tpu.ops.sw_pallas import PAD_SYMBOL
+                data = np.full((ch.n_cols, h.shape[2] * h.shape[3]),
+                               PAD_SYMBOL, dtype=np.int8)
+                data[:, :ch.nseqs] = ch.data
+                dp = build_dprofile_series(jnp.asarray(m8),
+                                           jnp.asarray(data),
+                                           interpret=True, dtype=dpdtype)
+            out, h, e, s = sw_scores_stream_carry(
+                qc, ql, m8, ch.data, ch.start, h, e, s,
+                gapopenextend=12, gapextend=1, interpret=True,
+                minter=minter, dprof=dp)
+            if len(ch.seqnos):
+                got[:, ch.seqnos] = np.asarray(
+                    gather_scores(out, ch.end_block, ch.lane))
+        assert np.array_equal(got, want), f"minter={minter}"
