@@ -1,36 +1,39 @@
 """Benchmark: single-chip Smith-Waterman database-search throughput (GCUPS).
 
-Measurement config 1 of BASELINE.md: one ~200aa protein query, BLOSUM62
-gap 11/1, vs a 10k-sequence protein database (Swiss-Prot-like length
-distribution), exact int32 scores, top-100.
+Measurement config 1 of BASELINE.md: ~200aa protein queries, BLOSUM62
+gap 11/1, vs a 10k-sequence protein database (Swiss-Prot-fitted length
+AND composition statistics), exact int32 scores, top-100 per query.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline compares against the reference's published aggregate throughput
-(~106 GCUPS on a dual 6-core Xeon X5650; Rognes 2011, cited in
-/root/reference/README:40-41) — the whole-machine number, not per-core.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline compares against the reference's published aggregate
+throughput (~106 GCUPS on a dual 6-core Xeon X5650; Rognes 2011, cited
+in /root/reference/README:40-41) — the whole-machine number, not
+per-core.
 
-Methodology notes (the round-3 redesign — see BASELINE.md "variance"):
-* the remote execution tunnel adds a variable per-dispatch cost (measured
-  263.8 / 264.5 / 375.9 GCUPS across three driver-style runs of the old
-  10-dispatches-per-chain bench), so a timed chain is now ONE jitted
-  dispatch: a lax.scan over R distinct queries, each rep running the
-  stream kernel over every db chunk plus the device top-100 — only 100
-  int32 values ever cross the link;
-* the residual fixed cost per chain (the ~40 ms sync round-trip + one
-  dispatch) is cancelled exactly by timing two chain lengths and taking
-  the slope: t_rep = (T_big - T_small) / (R_big - R_small);
-* a distinct query is scanned per rep and a distinct query stack is used
-  per timed call (the tunnel memoizes identical dispatches, which would
-  make repeats free);
-* each chain length is timed three times and the minimum wall is used
-  (tunnel stalls are one-sided noise);
-* the block score profiles depend only on the DATABASE and are
-  precomputed once on device (build_dprofile_series, ~1 ms for this db,
-  ~740 MB HBM), shared by every rep — the amortization any query stream
-  gets on a resident database, and the reference's own economics
-  (dprofile_fill amortizes across its 16 SIMD channels,
-  /root/reference/search7.cc:50-51).  The reported number is therefore
-  marginal per-query throughput on a resident, profiled database.
+What the headline measures (see BASELINE.md "accounting"): MARGINAL
+per-query throughput of a query STREAM on a resident, profiled
+database —
+* the block score profiles depend only on the DATABASE and are built
+  once on device (build_dprofile_series; wall and HBM cost reported as
+  `profile_build_s` / `profile_hbm_mb` so the amortization is
+  auditable), as the reference amortizes dprofile_fill across its SIMD
+  channels (/root/reference/search7.cc:50-51);
+* a whole query batch rides ONE jitted walk over the flow series
+  (drain chunks interleave two stream queries per grid step — the
+  round-4 amortization of the drain's mandatory 1024-lane width);
+* the timed chain is ONE dispatch; the fixed dispatch+sync cost is
+  cancelled exactly by timing two batch sizes and taking the slope:
+  t_query = (T_big - T_small) / (R_big - R_small) (the round-3
+  methodology; see BASELINE.md "variance");
+* distinct queries per rep and per timed call (the tunnel memoizes
+  identical dispatches); minimum wall of three trials per size
+  (tunnel stalls are one-sided noise).
+
+`pack_occupancy` is the AREA occupancy of the dispatched slots
+(residues / lane-columns) — pinned at ~0.73 by the corpus length tail
+meeting the kernel's 1024-lane width floor (the lower-bound argument in
+BASELINE.md); the drain interleave reduces the WALL those padded slots
+cost, which the headline already reflects.
 """
 
 import json
@@ -40,8 +43,8 @@ import numpy as np
 
 BASELINE_GCUPS = 106.0  # reference machine aggregate (Rognes 2011)
 
-R_SMALL = 5
-R_BIG = 25
+R_SMALL = 4
+R_BIG = 24
 TRIALS = 3
 
 
@@ -79,8 +82,10 @@ def main():
     # persistent XLA compile cache: the first stream-kernel compile takes
     # minutes through the remote TPU tunnel; cached reruns start in
     # seconds (same cache the CLI uses)
+    from swipe_tpu import native
     from swipe_tpu.cli import _enable_compile_cache
     _enable_compile_cache()
+    native.tune_malloc()
 
     from swipe_tpu.batching import pack_database
     from swipe_tpu.matrices import ScoreMatrix
@@ -96,11 +101,12 @@ def main():
     lens = swissprot_lengths(10_000, rng)
     seqs = swissprot_seqs(10_000, rng, lens)
     qlen = 200
-    nquery = TRIALS * (R_SMALL + R_BIG) + R_BIG   # + one warm-up stack
+    nquery = 2 * (R_SMALL + R_BIG) * TRIALS + 2 * R_BIG
     queries = [swissprot_query(qlen, rng) for _ in range(nquery)]
     cells = qlen * int(lens.sum())
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    extra = {}
 
     if on_tpu:
         from swipe_tpu.batching import pack_stream_flow
@@ -130,78 +136,99 @@ def main():
         # them once on device (build_dprofile_series) and stream them
         # into every rep's kernel — the inline per-(query, block) build
         # was the kernel's entire fixed cost (182 -> 244 GCUPS measured
-        # in-process; ~740 MB HBM for this db).  They are jit ARGUMENTS:
-        # closed-over arrays embed in the HLO and overflow the remote
-        # compile request.
+        # in-process).  They are jit ARGUMENTS: closed-over arrays embed
+        # in the HLO and overflow the remote compile request.  The
+        # one-time build cost is reported so the resident-database
+        # amortization is auditable.
+        t0 = time.time()
         dprofs = tuple(jax.block_until_ready(build_dprofile_series(m8, d))
                        for (d, *_r) in dev)
+        extra["profile_build_s"] = round(time.time() - t0, 3)
+        extra["profile_hbm_mb"] = round(
+            sum(dp.size * dp.dtype.itemsize for dp in dprofs) / 1e6, 1)
         qlen_pad = 256
-        qstacks = [tuple(map(jnp.asarray, build_qcodes([q], qlen_pad)))
-                   for q in queries]
+        qstacks = [build_qcodes([q], qlen_pad) for q in queries]
+        qc_all = jnp.asarray(np.concatenate([qc for qc, _ in qstacks]))
+        ql_all = jnp.asarray(np.concatenate([ql for _, ql in qstacks]))
 
-        def rep_scores(qc, ql, dps):
-            parts = []
+        # one timed chain = ONE dispatch: the R-query batch walks the
+        # whole flow series (drains interleaved minter=2, series
+        # head/tail state DMA elided), top-100 per query on device, one
+        # final top-100 across the batch — 100 ints cross the link
+        @jax.jit
+        def chain_impl(qc, ql, dps):
+            nq = qc.shape[0]
             h = e = s = None
+            tops = None
             for i, (d, st, eb, ln, src, w, nend) in enumerate(dev):
                 if i == 0:
-                    h, e, s = make_stream_state(1, qlen_pad, w)
+                    h, e, s = make_stream_state(nq, qlen_pad, w)
                 else:
                     h, e, s = permute_stream_state(h, e, s, src)
+                # drains: two interleaved stream queries per grid step
+                # (+ the head/tail DMA trim) — measured +4.8% whole-
+                # series in drift-cancelling rotation (round-4 config
+                # table, BASELINE.md); deeper interleave regresses
+                minter = 2 if (w <= 1024 and nq % 2 == 0) else 1
                 out, h, e, s = sw_scores_stream_carry(
                     qc, ql, m8, d, st, h, e, s,
-                    gapopenextend=12, gapextend=1, dprof=dps[i])
+                    gapopenextend=12, gapextend=1, dprof=dps[i],
+                    minter=minter, carry_in=i > 0,
+                    carry_out=i < len(dev) - 1)
                 if nend:
-                    parts.append(gather_scores(out, eb, ln))
-            return jnp.concatenate(parts, axis=1).reshape(-1)
+                    sc = gather_scores(out, eb, ln)
+                    part = jax.lax.top_k(sc, min(100, sc.shape[1]))[0]
+                    tops = part if tops is None else \
+                        jnp.concatenate([tops, part], axis=1)
+            return jax.lax.top_k(tops.reshape(-1), 100)[0]
+
+        def chain(qc, ql):
+            return chain_impl(qc, ql, dprofs)
+
+        def stack(a, b):
+            return qc_all[a:b], ql_all[a:b]
+
+        extra["pack_occupancy"] = round(
+            int(lens.sum()) / sum(int(d.size) for (d, *_r) in dev), 4)
     else:
         chunks = pack_database(seqs, nseqs=512)
         dev = [(jnp.asarray(c.data), jnp.asarray(c.seg_ids),
                 c.seqnos.shape[0]) for c in chunks]
         qstacks = [(jnp.asarray(build_qpt([q], m.matrix, 256)),
                     jnp.zeros((1,), jnp.int32)) for q in queries]
+        qc_all = jnp.stack([q[0] for q in qstacks])
+        ql_all = jnp.stack([q[1] for q in qstacks])
 
-        dprofs = ()
+        @jax.jit
+        def chain(qc, ql):
+            def body(_, xs):
+                qp, _ql = xs
+                sc = jnp.concatenate(
+                    [sw_scores_lax(qp, d, s, nsegs=n, gapopenextend=12,
+                                   gapextend=1).reshape(1, -1)
+                     for d, s, n in dev], axis=1).reshape(-1)
+                return 0, jax.lax.top_k(sc, 100)[0]
+            _, tops = jax.lax.scan(body, 0, (qc, ql))
+            return jax.lax.top_k(tops.reshape(-1), 100)[0]
 
-        def rep_scores(qp, _, dps):
-            return jnp.concatenate(
-                [sw_scores_lax(qp, d, s, nsegs=n, gapopenextend=12,
-                               gapextend=1).reshape(1, -1)
-                 for d, s, n in dev], axis=1).reshape(-1)
-
-    # one timed chain = ONE dispatch: scan over R distinct queries, top-100
-    # per rep on device, one final top-100 — 100 values cross the link
-    @jax.jit
-    def chain_impl(qcs, qls, dps):
-        def body(_, xs):
-            qc, ql = xs
-            return 0, jax.lax.top_k(rep_scores(qc, ql, dps), 100)[0]
-        _, tops = jax.lax.scan(body, 0, (qcs, qls))
-        return jax.lax.top_k(tops.reshape(-1), 100)[0]
-
-    def chain(qcs, qls):
-        return chain_impl(qcs, qls, dprofs)
-
-    def stack(qlist):
-        return (jnp.stack([q[0] for q in qlist]),
-                jnp.stack([q[1] for q in qlist]))
-
-    # force the query uploads onto the device before timing
-    for qc in qstacks:
-        jax.block_until_ready(qc)
+        def stack(a, b):
+            return qc_all[a:b], ql_all[a:b]
 
     # warm-up compiles + first-dispatch effects for BOTH chain shapes
-    np.asarray(chain(*stack(qstacks[:R_SMALL])))
-    top = np.asarray(chain(*stack(qstacks[-R_BIG:])))
+    pos = 0
+    np.asarray(chain(*stack(pos, pos + R_SMALL)))
+    pos += R_SMALL
+    top = np.asarray(chain(*stack(pos, pos + R_BIG)))
+    pos += R_BIG
     assert top[-1] > 0, "top-100 scores must all be positive"
 
-    # slope timing: walls for two chain lengths; the fixed per-dispatch +
+    # slope timing: walls for two batch sizes; the fixed per-dispatch +
     # sync cost cancels in the difference.  Distinct query stacks per
-    # trial; minimum wall per length (tunnel stalls are one-sided noise).
+    # trial; minimum wall per size (tunnel stalls are one-sided noise).
     walls = {R_SMALL: [], R_BIG: []}
-    pos = 0
     for _ in range(TRIALS):
         for r in (R_SMALL, R_BIG):
-            qs = stack(qstacks[pos:pos + r])
+            qs = stack(pos, pos + r)
             pos += r
             t0 = time.time()
             np.asarray(chain(*qs))
@@ -210,14 +237,12 @@ def main():
     t_rep = max(t_rep, 1e-9)
 
     gcups = cells / t_rep / 1e9
-    occupancy = int(lens.sum()) / sum(
-        int(np.asarray(c[0] if on_tpu else c[0]).size) for c in dev)
     print(json.dumps({
         "metric": "GCUPS_1chip_blastp_10kseq",
         "value": round(gcups, 3),
         "unit": "GCUPS",
         "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
-        "occupancy": round(occupancy, 4),
+        **extra,
     }))
 
 

@@ -403,7 +403,8 @@ def _stream_kernel_grouped(qc_ref, ql_ref, m8_ref, db_ref, start_ref,
 def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
                    Q: int, R: int, clamp: int | None,
                    dprof_in: bool = False, minter: int = 1,
-                   qlen_pad: int = 0, ru: int = RU):
+                   qlen_pad: int = 0, ru: int = RU,
+                   carry_in: bool = True, carry_out: bool = True):
     """One (query-tuple, db-block) grid step of the CARRY variant
     (sw_scores_stream_carry; the plain path uses _stream_kernel_grouped).
 
@@ -413,14 +414,16 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     build_dprofile_series).
 
     ``minter`` members (consecutive queries of the batch) run
-    INTERLEAVED per grid step (_make_row_body_multi): the DP recurrence
-    is latency-bound on the VPU, so M members x (NL/128) vregs of
-    independent chains approach the 4-chain issue rate — and because the
-    members share ONE pass over the chunk, a drain chunk's mandatory
-    1024-lane width is paid once per M queries of a stream instead of
-    per query (the round-4 flow-series amortization; the reference's
-    refill machine never idles a lane, search7.cc:830-957, but its lanes
-    are per-query too — this lever has no x86 analog).
+    INTERLEAVED per grid step (_make_row_body_multi), sharing ONE pass
+    over the chunk: a drain chunk's mandatory 1024-lane width is paid
+    once per M queries of a stream instead of per query (the round-4
+    flow-series amortization; the reference's refill machine never
+    idles a lane, search7.cc:830-957, but its lanes are per-query too —
+    this lever has no x86 analog).  Measured reality (BASELINE.md
+    round-4 config table): the kernel saturates the VPU's 2-wide issue
+    at 2048 lanes, so interleaving only pays on 1024-lane chunks
+    (minter=2, +4.8% whole-series with the DMA trim) and regresses
+    beyond minter x ru = 8 live row-states (register spills).
 
     db_ref:    [KSEG*SUB, NL] int8 — column j's symbols are rows j*8..j*8+7
     start_ref: [1, SUB, NL] int32 — 1 where the lane starts a new sequence
@@ -437,38 +440,54 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
     (batching.pack_stream_carry) cuts lanes mid-sequence and the cut
     columns continue in the next chunk of the series.
     """
-    if dprof_in:
-        (dprof_ref, hin_ref, ein_ref, sin_ref, out_ref, hout_ref,
-         eout_ref, sout_ref, hst_ref, est_ref, hrow_ref, frow_ref,
-         s_ref, dma_sem) = rest
-    else:
-        (hin_ref, ein_ref, sin_ref, out_ref, hout_ref, eout_ref, sout_ref,
-         hst_ref, est_ref, hrow_ref, frow_ref, s_ref,
-         dprof_ref, dma_sem) = rest
+    rest = list(rest)
+    dprof_ref = rest.pop(0) if dprof_in else None
+    if carry_in:
+        hin_ref, ein_ref, sin_ref = rest[:3]
+        rest = rest[3:]
+    out_ref = rest.pop(0)
+    if carry_out:
+        hout_ref, eout_ref, sout_ref = rest[:3]
+        rest = rest[3:]
+    hst_ref, est_ref, hrow_ref, frow_ref, s_ref = rest[:5]
+    rest = rest[5:]
+    if not dprof_in:
+        dprof_ref = rest.pop(0)
+    dma_sem, = rest
     qp = pl.program_id(0)
     b = pl.program_id(1)
     nl = db_ref.shape[1]
     qis = [qp * minter + mi for mi in range(minter)]
 
-    @pl.when(b == 0)
-    def _load():
-        cps = []
-        for mi, qi in enumerate(qis):
-            lo = mi * qlen_pad
-            cps += [pltpu.make_async_copy(
-                        hin_ref.at[qi],
-                        hst_ref.at[lo:lo + qlen_pad] if minter > 1
-                        else hst_ref, dma_sem.at[mi, 0]),
-                    pltpu.make_async_copy(
-                        ein_ref.at[qi],
-                        est_ref.at[lo:lo + qlen_pad] if minter > 1
-                        else est_ref, dma_sem.at[mi, 1]),
-                    pltpu.make_async_copy(sin_ref.at[qi], s_ref.at[mi],
-                                          dma_sem.at[mi, 2])]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+    if carry_in:
+        @pl.when(b == 0)
+        def _load():
+            cps = []
+            for mi, qi in enumerate(qis):
+                lo = mi * qlen_pad
+                cps += [pltpu.make_async_copy(
+                            hin_ref.at[qi],
+                            hst_ref.at[lo:lo + qlen_pad] if minter > 1
+                            else hst_ref, dma_sem.at[mi, 0]),
+                        pltpu.make_async_copy(
+                            ein_ref.at[qi],
+                            est_ref.at[lo:lo + qlen_pad] if minter > 1
+                            else est_ref, dma_sem.at[mi, 1]),
+                        pltpu.make_async_copy(sin_ref.at[qi], s_ref.at[mi],
+                                              dma_sem.at[mi, 2])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+    else:
+        # series head: fresh state initialized in VMEM — the caller
+        # neither allocates nor streams HBM zeros (make_stream_state's
+        # buffers and their DMA round trip are pure overhead for chunk 0)
+        @pl.when(b == 0)
+        def _fresh():
+            hst_ref[...] = jnp.zeros_like(hst_ref)
+            est_ref[...] = jnp.full_like(est_ref, NEG_INF)
+            s_ref[...] = jnp.zeros_like(s_ref)
 
     # ---- dprofile: one-hot matmul on the MXU (unless streamed in) -----------
     if not dprof_in:
@@ -500,25 +519,26 @@ def _stream_kernel(qc_ref, ql_ref, m8_ref, db_ref, start_ref, *rest,
         s_ref[mi] = final[mi][1]
         out_ref[mi, 0] = final[mi][1]
 
-    @pl.when(b == pl.num_programs(1) - 1)
-    def _store():
-        cps = []
-        for mi, qi in enumerate(qis):
-            lo = mi * qlen_pad
-            cps += [pltpu.make_async_copy(
-                        hst_ref.at[lo:lo + qlen_pad] if minter > 1
-                        else hst_ref,
-                        hout_ref.at[qi], dma_sem.at[mi, 0]),
-                    pltpu.make_async_copy(
-                        est_ref.at[lo:lo + qlen_pad] if minter > 1
-                        else est_ref,
-                        eout_ref.at[qi], dma_sem.at[mi, 1]),
-                    pltpu.make_async_copy(s_ref.at[mi], sout_ref.at[qi],
-                                          dma_sem.at[mi, 2])]
-        for cp in cps:
-            cp.start()
-        for cp in cps:
-            cp.wait()
+    if carry_out:
+        @pl.when(b == pl.num_programs(1) - 1)
+        def _store():
+            cps = []
+            for mi, qi in enumerate(qis):
+                lo = mi * qlen_pad
+                cps += [pltpu.make_async_copy(
+                            hst_ref.at[lo:lo + qlen_pad] if minter > 1
+                            else hst_ref,
+                            hout_ref.at[qi], dma_sem.at[mi, 0]),
+                        pltpu.make_async_copy(
+                            est_ref.at[lo:lo + qlen_pad] if minter > 1
+                            else est_ref,
+                            eout_ref.at[qi], dma_sem.at[mi, 1]),
+                        pltpu.make_async_copy(s_ref.at[mi], sout_ref.at[qi],
+                                              dma_sem.at[mi, 2])]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
 
 
 def is_megacore() -> bool:
@@ -708,7 +728,7 @@ def make_stream_state(nq: int, qlen_pad: int, nseqs: int):
 @functools.partial(
     jax.jit,
     static_argnames=("gapopenextend", "gapextend", "clamp", "interpret",
-                     "minter", "ru"),
+                     "minter", "ru", "carry_in", "carry_out"),
 )
 def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
                            matrix8: jax.Array, db: jax.Array,
@@ -717,7 +737,9 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
                            gapextend: int, clamp: int | None = None,
                            interpret: bool = False,
                            dprof: jax.Array | None = None,
-                           minter: int = 1, ru: int = RU):
+                           minter: int = 1, ru: int = RU,
+                           carry_in: bool = True,
+                           carry_out: bool = True):
     """sw_scores_stream over ONE chunk of a pack_stream_carry series.
 
     h/e: [NQ, QLEN, SUB, NL] int32, s: [NQ, SUB, NL] int32 — the per-lane
@@ -737,15 +759,24 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     kernel's entire measured fixed cost, so passing it lifts the
     single-query rate to ~98% of the VPU ceiling.
 
+    ``carry_in``/``carry_out``: series-head and series-tail launches can
+    skip the state DMA: with ``carry_in=False`` the kernel initializes
+    fresh state in VMEM (h/e/s are still passed for SHAPE but never read
+    — under jit their creation is dead code and is elided), and with
+    ``carry_out=False`` no state leaves the chip (the returned state is
+    the INPUT state, unchanged — do not thread it further).
+
     ``minter``: interleave this many consecutive queries per grid step
-    (NQ must be a multiple).  The DP is latency-bound, so a query STREAM
-    running minter=2 at 2048 lanes (4 chains) or minter=4 at 1024 lanes
-    approaches the 4-chain issue rate — and a flow series' drain chunks
-    (mandatory 1024-lane width for a handful of tail chains) are walked
-    once per minter queries instead of once per query.  VMEM: the H/E
-    scratch scales with minter x qlen_pad rows; at 2048 lanes pass an
-    int16 ``dprof`` so the halved profile buffers make room (measured
-    round 4 on v5e — see BASELINE.md MFU table).
+    (NQ must be a multiple); a flow series' drain chunks (mandatory
+    1024-lane width for a handful of tail chains) are then walked once
+    per minter queries instead of once per query.  Use minter=2 on
+    1024-lane chunks only: at 2048 lanes the kernel already saturates
+    the VPU's 2-wide issue and interleaving measured NEGATIVE, and
+    minter x ru > 8 live row-states spills registers (round-4 config
+    table, BASELINE.md).  VMEM: the H/E scratch scales with
+    minter x qlen_pad rows; at 2048 lanes an int16 ``dprof`` halves the
+    profile buffers to make room, costing a widen + half-tile load
+    (~5% unpaired).
     """
     nq, qlen_pad = qcodes.shape
     if nq % minter:
@@ -770,7 +801,7 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
     kernel = functools.partial(
         _stream_kernel, Q=gapopenextend, R=gapextend, clamp=clamp,
         dprof_in=dprof is not None, minter=minter, qlen_pad=qlen_pad,
-        ru=ru)
+        ru=ru, carry_in=carry_in, carry_out=carry_out)
 
     in_specs = [
         pl.BlockSpec((32, 32), lambda q, b, *_: (0, 0),
@@ -788,8 +819,9 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
         inputs.append(dprof)
     # carry state stays in HBM; the kernel DMAs it into the same
     # VMEM scratch the non-carry kernel zero-initializes
-    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
-    inputs += [h, e, s]
+    if carry_in:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        inputs += [h, e, s]
     scratch = [
         pltpu.VMEM((minter * qlen_pad, SUB, nl), jnp.int32),
         pltpu.VMEM((minter * qlen_pad, SUB, nl), jnp.int32),
@@ -801,34 +833,37 @@ def sw_scores_stream_carry(qcodes: jax.Array, qlens: jax.Array,
         scratch.append(pltpu.VMEM((32, KSEG * SUB, nl), DPROF_DTYPE))
     scratch.append(pltpu.SemaphoreType.DMA((minter, 3)))
 
+    out_specs = [pl.BlockSpec((minter, 1, SUB, nl),
+                              lambda q, b, *_: (q, b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32)]
+    if carry_out:
+        out_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 3
+        out_shape += [
+            jax.ShapeDtypeStruct((nq, qlen_pad, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, qlen_pad, SUB, nl), jnp.int32),
+            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nq // minter, nblocks),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((minter, 1, SUB, nl),
-                         lambda q, b, *_: (q, b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    out, h2, e2, s2 = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nq, nblocks, SUB, nl), jnp.int32),
-            jax.ShapeDtypeStruct((nq, qlen_pad, SUB, nl), jnp.int32),
-            jax.ShapeDtypeStruct((nq, qlen_pad, SUB, nl), jnp.int32),
-            jax.ShapeDtypeStruct((nq, SUB, nl), jnp.int32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(*inputs)
+    if carry_out:
+        out, h2, e2, s2 = res
+    else:
+        out, h2, e2, s2 = res[0], h, e, s
     return out.reshape(nq, nblocks, nseqs), h2, e2, s2
 
 

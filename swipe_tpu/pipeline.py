@@ -1044,10 +1044,24 @@ class SearchEngine:
                     h, e, s = permute_stream_state(h, e, s, src)
                 dp = build_dprofile_series(m8, data, interpret=interpret) \
                     if self._dprof_ok(use_dprof, data) else None
+                # NARROW chunks (the flow series' drains: 1024 lanes = one
+                # vreg per op, half the VPU's 2-wide issue) interleave TWO
+                # stream queries per grid step: the drain's mandatory
+                # full-width pass is paid once per query pair.  Measured
+                # in drift-cancelling rotation (round 4, BASELINE.md
+                # config table): drain minter=2 + the head/tail DMA trim
+                # below = +4.8% whole-series; deeper interleave (minter=4,
+                # any ru) and 2048-lane pairing both REGRESS — the wide
+                # chunks already saturate the VPU's 2-wide issue and
+                # minter x ru > 8 live row-states spills registers.
+                minter = 2 if (w <= 1024 and qlen_pad <= 512
+                               and nq % 2 == 0) else 1
                 out, h, e, s = sw_scores_stream_carry(
                     qc, ql, m8, data, start, h, e, s,
                     gapopenextend=p.gapopenextend,
-                    gapextend=p.gapextend, interpret=interpret, dprof=dp)
+                    gapextend=p.gapextend, interpret=interpret, dprof=dp,
+                    minter=minter, carry_in=i > 0,
+                    carry_out=i < len(chunks_dev) - 1)
                 if units.shape[0] == 0:
                     continue
                 sc = gather_scores(out, eb, ln)

@@ -963,3 +963,29 @@ def test_stream_multichunk_fused_walk_matches_lax():
     assert [(h.seqno, h.score) for h in got.hits] == \
            [(h.seqno, h.score) for h in want.hits]
     assert got.totalhits == want.totalhits
+
+
+def test_stream_flow_route_query_stream_minter():
+    """A query BATCH through the flow route exercises the drain-chunk
+    member interleave (minter=4 at ru=2 when the slot count divides) and
+    the series head/tail DMA elision; scores must still match the oracle
+    exactly for every query."""
+    rng = np.random.default_rng(95)
+    qs = ["".join(rng.choice(list(AA), 55 + 7 * k)) for k in range(4)]
+    plant = {3: "".join(rng.choice(list(AA), 1200)) + qs[0][5:50],
+             29: qs[2][2:40] + "".join(rng.choice(list(AA), 700))}
+    fasta, recs = _mkfasta(rng, 160, 20, 120, AA, plant=plant)
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="flowdb4")
+    queries = [preprocess_query(f"q{k}", q, 1, 3) for k, q in enumerate(qs)]
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=160, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret")
+    eng.FLOW_MIN_AVG_LANE = 0
+    assert eng._flow_cols(1024) is not None
+    hitlists = eng.search_batch(queries)
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    seqs = [encode(s, MAP_NCBI_AA) for _, s in recs]
+    for query, hits in zip(queries, hitlists):
+        want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+        for h in hits.hits:
+            assert h.score == want[h.seqno], (h.seqno, h.score)

@@ -68,7 +68,7 @@ def main(only=None):
     print(f"# series: {[(c.nseqs, c.n_cols) for c in chunks]}",
           file=sys.stderr)
 
-    nquery = 2 * (NQ_SMALL + NQ_BIG) * TRIALS + 2 * NQ_BIG
+    nquery = 6 * (NQ_SMALL + NQ_BIG) * (TRIALS + 2)
     queries = [swissprot_query(QLEN, rng) for _ in range(nquery)]
     qstacks = [build_qcodes([q], QLEN_PAD) for q in queries]
     qc_all = jnp.asarray(np.concatenate([qc for qc, _ in qstacks]))
@@ -81,8 +81,10 @@ def main(only=None):
                 build_dprofile_series(m8, d, dtype=dt)))
         return tuple(out)
 
-    def make_walk(minters, rus=None):
-        """jit walk(qc [NQ, QLEN_PAD], ql [NQ], dprofs) -> [NQ] checksum."""
+    def make_walk(minters, rus=None, trim=False):
+        """jit walk(qc [NQ, QLEN_PAD], ql [NQ], dprofs) -> [NQ] checksum.
+        ``trim`` skips the series-head state load and series-tail state
+        store (carry_in/carry_out)."""
         from swipe_tpu.ops.sw_stream import RU
         rus = rus or [RU] * len(dev)
 
@@ -99,7 +101,8 @@ def main(only=None):
                 out, h, e, s = sw_scores_stream_carry(
                     qc, ql, m8, d, st, h, e, s, gapopenextend=12,
                     gapextend=1, dprof=dps[i], minter=minters[i],
-                    ru=rus[i])
+                    ru=rus[i], carry_in=not (trim and i == 0),
+                    carry_out=not (trim and i == len(dev) - 1))
                 if nend:
                     acc = acc + gather_scores(out, eb, ln).max(axis=1)
             return acc
@@ -121,6 +124,15 @@ def main(only=None):
         "pair_ru2":  ([2, 2, 2, 4], ["i16", "i16", "i16", "i32"],
                       [2, 2, 2, 2]),
         "base_ru2":  ([1, 1, 1, 1], ["i32"] * 4, [2, 2, 2, 2]),
+        # drain minter=4 at ru=2: 8 live row-states (the known no-spill
+        # budget) vs drain4's 16 (spilled)
+        "drain4_ru2": ([1, 1, 1, 4], ["i32"] * 4, [4, 4, 4, 2]),
+        # drain2 plus series-head/tail state-DMA elision
+        "drain2_trim": ([1, 1, 1, 2], ["i32"] * 4, None, True),
+        # production candidate: drain minter=4 @ ru=2 + DMA trim
+        "drain4_ru2_trim": ([1, 1, 1, 4], ["i32"] * 4, [4, 4, 4, 2], True),
+        "drain4_ru1": ([1, 1, 1, 4], ["i32"] * 4, [4, 4, 4, 1]),
+        "drain2_ru2": ([1, 1, 1, 2], ["i32"] * 4, [4, 4, 4, 2]),
     }
     DT = {"i32": jnp.int32, "i16": jnp.int16}
 
@@ -131,14 +143,53 @@ def main(only=None):
         pos[0] = b
         return qc_all[a:b], ql_all[a:b]
 
-    for name, (minters, dts, rus) in CONFIGS.items():
+    # --rotate: measure the named configs in interleaved rotation
+    # (cfg1, cfg2, ..., cfg1, cfg2, ...) so chip clock drift between
+    # measurements cancels in the per-config MINIMUM; single-pass mode
+    # otherwise.  Ratios are only trustworthy within one process AND
+    # within one rotation window.
+    rotate = bool(only) and "--rotate" in only
+    if rotate:
+        only = {x for x in only if x != "--rotate"}
+        names = [n for n in CONFIGS if n in only]
+        walks = {}
+        for name in names:
+            minters, dts, rus = CONFIGS[name][:3]
+            trim = bool(CONFIGS[name][3]) if len(CONFIGS[name]) > 3 else False
+            dps = dprofs_for([DT[x] for x in list(dts[:len(dev)])])
+            walks[name] = (make_walk(list(minters[:len(dev)]), rus, trim),
+                           dps)
+            np.asarray(walks[name][0](*take(NQ_SMALL), dps))
+            np.asarray(walks[name][0](*take(NQ_BIG), dps))
+        best = {n: {NQ_SMALL: [], NQ_BIG: []} for n in names}
+        for _ in range(TRIALS + 1):
+            for name in names:
+                walk, dps = walks[name]
+                for nq in (NQ_SMALL, NQ_BIG):
+                    qs = take(nq)
+                    t0 = time.time()
+                    np.asarray(walk(*qs, dps))
+                    best[name][nq].append(time.time() - t0)
+        for name in names:
+            t_q = (min(best[name][NQ_BIG]) - min(best[name][NQ_SMALL])) \
+                / (NQ_BIG - NQ_SMALL)
+            print(json.dumps({
+                "config": name, "rotated": True,
+                "ms_per_query": round(t_q * 1e3, 3),
+                "gcups": round(cells / max(t_q, 1e-9) / 1e9, 1),
+            }), flush=True)
+        return
+
+    for name, cfg in CONFIGS.items():
         if only and name not in only:
             continue
+        minters, dts, rus = cfg[:3]
+        trim = bool(cfg[3]) if len(cfg) > 3 else False
         minters = list(minters[:len(dev)])
         dts = list(dts[:len(dev)])
         try:
             dps = dprofs_for([DT[x] for x in dts])
-            walk = make_walk(minters, rus)
+            walk = make_walk(minters, rus, trim)
             # warm both shapes (compiles)
             t0 = time.time()
             np.asarray(walk(*take(NQ_SMALL), dps))
