@@ -94,8 +94,13 @@ def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
     profiles depend only on the db block, so ONE build serves the whole
     slot group instead of every (query, block) grid step — the inline
     build was the kernel's entire measured fixed cost (~6.5 us/block at
-    2048 lanes; single-query rate 246 -> 326 GCUPS without it)."""
+    2048 lanes; single-query rate 246 -> 326 GCUPS without it).  The
+    value is a dtype token: "i32" (full-rate profiles), "i16" (halved
+    VMEM buffers — lets 512-row query states fit beside streamed
+    profiles, measured +8.7% over the inline build on the cfg-3 shape,
+    round 4), or falsy for the inline build."""
     import jax
+    import jax.numpy as jnp
 
     from .ops.sw_stream import (build_dprofile_series, gather_scores,
                                 sw_scores_stream, sw_scores_stream_long)
@@ -106,7 +111,9 @@ def _fused_stream_step(long, interpret, gapopenextend, gapextend, qgroup,
                 qc, ql, m8, data, start, gapopenextend=gapopenextend,
                 gapextend=gapextend, interpret=interpret)
         else:
-            dp = build_dprofile_series(m8, data, interpret=interpret) \
+            dp = build_dprofile_series(
+                m8, data, interpret=interpret,
+                dtype=jnp.int16 if use_dprof == "i16" else None) \
                 if use_dprof else None
             out = sw_scores_stream(
                 qc, ql, m8, data, start, gapopenextend=gapopenextend,
@@ -130,8 +137,9 @@ def _fused_flow_step(first, has_ends, interpret, gapopenextend, gapextend,
     chunk to chunk, so unlike _fused_stream_step the carried (h, e, s)
     rides through the step; ``first`` skips the permute on chunk 0 and
     ``has_ends`` elides the gather for chunks where no sequence ends.
-    ``use_dprof``: see _fused_stream_step."""
+    ``use_dprof``: see _fused_stream_step (dtype token)."""
     import jax
+    import jax.numpy as jnp
 
     from .ops.sw_stream import (build_dprofile_series, gather_scores,
                                 permute_stream_state,
@@ -141,7 +149,9 @@ def _fused_flow_step(first, has_ends, interpret, gapopenextend, gapextend,
              init_thr, upper):
         if not first:
             h, e, s = permute_stream_state(h, e, s, src)
-        dp = build_dprofile_series(m8, data, interpret=interpret) \
+        dp = build_dprofile_series(
+            m8, data, interpret=interpret,
+            dtype=jnp.int16 if use_dprof == "i16" else None) \
             if use_dprof else None
         out, h, e, s = sw_scores_stream_carry(
             qc, ql, m8, data, start, h, e, s,
@@ -331,6 +341,11 @@ class SearchEngine:
     # falling to the (much slower) long path.
     USE_DPROF = True
     STREAM_ROWS_DPROF = ((2048, 288), (1024, 640))
+    # int16-profile FALLBACK tier: halved buffers let longer query rows
+    # (e.g. 512-row blastn queries) keep streamed profiles -- measured
+    # round 4: +8.7% over the inline build at 512 rows, but -5% vs int32
+    # where int32 fits, so it only engages past STREAM_ROWS_DPROF
+    STREAM_ROWS_DPROF_I16 = ((2048, 512), (1024, 1024))
     # skip the precompute for chunks whose profile array would not fit
     # comfortably in HBM (bytes = 128 x chunk data bytes)
     DPROF_MAX_BYTES = 3 << 30
@@ -768,7 +783,13 @@ class SearchEngine:
         # beyond that cap keep the inline build rather than fall to the
         # much slower long path.
         dcap = dict(self.STREAM_ROWS_DPROF)[nseqs]
-        use_dprof = self.USE_DPROF and not long and qlen_pad <= dcap
+        dcap16 = dict(self.STREAM_ROWS_DPROF_I16)[nseqs]
+        use_dprof = False
+        if self.USE_DPROF and not long:
+            if qlen_pad <= dcap:
+                use_dprof = "i32"
+            elif qlen_pad <= dcap16:
+                use_dprof = "i16"
 
         # heavy length tails over small databases route through the flow
         # series (state-carrying chunks at ~full occupancy) instead of
@@ -785,18 +806,20 @@ class SearchEngine:
 
         # short-query dprofile amortization: members of a query group
         # share one dprofile build per db block; the group's row states
-        # must fit the config's VMEM row cap (STREAM_CONFIGS, or the
-        # dprof-mode cap when profiles are streamed)
+        # must fit the config's VMEM row cap (STREAM_CONFIGS).  With
+        # STREAMED profiles there is no build to amortize and the
+        # residual member pairing measured NEGATIVE (the kernel
+        # saturates the VPU's 2-wide issue at 2048 lanes -- round-4
+        # config table, BASELINE.md), so dprof mode runs qgroup=1.
         qgroup = 1
-        if not long:
-            cap = dcap if use_dprof else dict(self.STREAM_CONFIGS)[nseqs]
+        if not long and not use_dprof:
+            cap = dict(self.STREAM_CONFIGS)[nseqs]
             # bound by the PADDED count so a padded tail group keeps the
             # main groups' kernel shape
             qgroup = min(max(cap // qlen_pad, 1), nslots_pad)
             # even qgroups run members pairwise-interleaved in the row
-            # loop; with the inline build that measured +16% (mostly
-            # build amortization), with streamed profiles the residual
-            # ILP gain is ~4% — still free when the state fits
+            # loop (+16% with the inline build, mostly build
+            # amortization)
             if qgroup >= 2:
                 qgroup &= ~1
         # v4/v5p: split query groups across the chip's two TensorCores
@@ -884,9 +907,11 @@ class SearchEngine:
                     # profiles are built per chunk inside the walk: one
                     # build serves the whole slot group, and XLA frees
                     # each chunk's profile buffer after its kernel
+                    tok = self._dprof_ok(use_dprof, data)
                     dp = build_dprofile_series(
-                        m8, data, interpret=interpret) \
-                        if self._dprof_ok(use_dprof, data) else None
+                        m8, data, interpret=interpret,
+                        dtype=jnp.int16 if tok == "i16" else None) \
+                        if tok else None
                     out = sw_scores_stream(
                         qc, ql, m8, data, start,
                         gapopenextend=p.gapopenextend,
@@ -1042,8 +1067,11 @@ class SearchEngine:
                     h, e, s = make_stream_state(nq, qlen_pad, w)
                 else:
                     h, e, s = permute_stream_state(h, e, s, src)
-                dp = build_dprofile_series(m8, data, interpret=interpret) \
-                    if self._dprof_ok(use_dprof, data) else None
+                tok = self._dprof_ok(use_dprof, data)
+                dp = build_dprofile_series(
+                    m8, data, interpret=interpret,
+                    dtype=jnp.int16 if tok == "i16" else None) \
+                    if tok else None
                 # NARROW chunks (the flow series' drains: 1024 lanes = one
                 # vreg per op, half the VPU's 2-wide issue) interleave TWO
                 # stream queries per grid step: the drain's mandatory
