@@ -350,8 +350,15 @@ class SearchEngine:
     # comfortably in HBM (bytes = 128 x chunk data bytes)
     DPROF_MAX_BYTES = 3 << 30
 
-    def _dprof_ok(self, use_dprof: bool, data) -> bool:
-        return bool(use_dprof) and data.size * 128 <= self.DPROF_MAX_BYTES
+    def _dprof_ok(self, use_dprof, data):
+        """HBM-size guard: returns the dtype token ("i32"/"i16") when
+        this chunk's profile array fits the budget, else False (int16
+        profiles are half the bytes)."""
+        if not use_dprof:
+            return False
+        per = 64 if use_dprof == "i16" else 128
+        return use_dprof if data.size * per <= self.DPROF_MAX_BYTES \
+            else False
 
     @staticmethod
     def _resolve_backend(backend: str) -> str:

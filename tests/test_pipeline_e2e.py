@@ -989,3 +989,40 @@ def test_stream_flow_route_query_stream_minter():
         want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
         for h in hits.hits:
             assert h.score == want[h.seqno], (h.seqno, h.score)
+
+
+def test_stream_i16_profile_tier_matches_oracle():
+    """Queries between STREAM_ROWS_DPROF and STREAM_ROWS_DPROF_I16 take
+    STREAMED int16 profiles (int32 never fit beside >288 query rows at
+    2048 lanes); scores must match the oracle exactly and the router
+    must actually pick the i16 token."""
+    rng = np.random.default_rng(97)
+    q = "".join(rng.choice(list(AA), 300))          # qlen_pad 384 -> i16
+    fasta, recs = _mkfasta(rng, 300, 30, 150, AA,
+                           plant={7: q[5:120], 42: q[100:260]})
+    db = FastaDatabase(io.StringIO(fasta), "aa", title="i16db")
+    query = preprocess_query("qi16", q, 1, 3)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=300, alignments=0, expect=1e9)
+    eng = SearchEngine(db, params, backend="stream_interpret")
+    assert eng._flow_cols(2048) is None   # plain-pack route on this db
+    picked = {}
+    orig = SearchEngine._dprof_ok
+
+    def spy(self, use_dprof, data):
+        tok = orig(self, use_dprof, data)
+        picked.setdefault("tok", tok)
+        return tok
+
+    SearchEngine._dprof_ok = spy
+    try:
+        hits = eng.search(query)
+    finally:
+        SearchEngine._dprof_ok = orig
+    assert picked.get("tok") == "i16", picked
+    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    seqs = [encode(s, MAP_NCBI_AA) for _, s in recs]
+    want = sw_numpy_many(query.aa[0], seqs, eng.matrix.matrix, 11, 1)
+    for h in hits.hits:
+        assert h.score == want[h.seqno]
+    assert {7, 42} <= {h.seqno for h in hits.hits}
