@@ -101,7 +101,9 @@ def main():
     lens = swissprot_lengths(10_000, rng)
     seqs = swissprot_seqs(10_000, rng, lens)
     qlen = 200
-    nquery = 2 * (R_SMALL + R_BIG) * TRIALS + 2 * R_BIG
+    # exactly what the run consumes: one warm-up pass + TRIALS timed
+    # passes, each drawing R_SMALL + R_BIG distinct queries
+    nquery = (TRIALS + 1) * (R_SMALL + R_BIG)
     queries = [swissprot_query(qlen, rng) for _ in range(nquery)]
     cells = qlen * int(lens.sum())
 

@@ -166,6 +166,12 @@ class _FlatSeqs:
         return self.offs.size - 1
 
     def __getitem__(self, i: int) -> np.ndarray:
+        n = self.offs.size - 1
+        i = int(i)
+        if i < 0:                      # list semantics, not slice wraparound
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(f"record {i} of {n}")
         return self.codes[self.offs[i]: self.offs[i + 1]]
 
     def __iter__(self):

@@ -967,9 +967,11 @@ def test_stream_multichunk_fused_walk_matches_lax():
 
 def test_stream_flow_route_query_stream_minter():
     """A query BATCH through the flow route exercises the drain-chunk
-    member interleave (minter=4 at ru=2 when the slot count divides) and
+    member interleave (the production route selects minter=2 on <=1024
+    -lane chunks when the slot count is even, pipeline._flow_walk) and
     the series head/tail DMA elision; scores must still match the oracle
-    exactly for every query."""
+    exactly for every query.  (minter=4 is covered at the kernel level
+    by test_sw_stream.test_stream_carry_minter_matches_oracle.)"""
     rng = np.random.default_rng(95)
     qs = ["".join(rng.choice(list(AA), 55 + 7 * k)) for k in range(4)]
     plant = {3: "".join(rng.choice(list(AA), 1200)) + qs[0][5:50],
