@@ -446,3 +446,53 @@ def test_assign_ranges_proportional():
     assert sum(res2) == total
     # empty segments
     assert assign_ranges([], np.array([1.0, 1.0]), cum) == [[], []]
+
+
+def test_multihost_work_curve_and_pack_cache():
+    """Round-4 rebalance internals: (a) the work curve used for speed
+    measurement and proportional reassignment excludes giant units (they
+    are scored outside the timed waves, so counting their mass would
+    inflate the owner's speed and satisfy wave-2 quotas with workless
+    residues); (b) the shard decoded once at init serves wave packs by
+    seqno range, matching a fresh decode; (c) a repeated search with
+    stable speeds reuses the cached wave-2 pack instead of re-decoding
+    and re-packing the shard, with identical hits."""
+    from swipe_tpu.io.db import FastaDatabase
+    from swipe_tpu.io.fasta import preprocess_query
+    from swipe_tpu.parallel.multihost import MultiHostEngine
+    from swipe_tpu.pipeline import SearchParams
+    rng = np.random.default_rng(21)
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    recs = ["".join(rng.choice(AA, int(rng.integers(50, 200))))
+            for _ in range(40)]
+    recs[7] = "".join(rng.choice(AA, 5000))        # giant (> max_cols)
+    fasta = "".join(f">s{i} r{i}\n{s}\n" for i, s in enumerate(recs))
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=40, alignments=0, expect=1e9)
+    eng = MultiHostEngine(FastaDatabase(io.StringIO(fasta), "aa"),
+                          params, max_cols=2048, backend="lax")
+    # (a) work curve: flat across the giant, totals the normal lengths
+    lens = np.array([len(s) for s in recs])
+    assert int(eng._cum_work[-1]) == int(np.where(lens > 2048, 0,
+                                                  lens).sum())
+    assert eng._cum_work[8] - eng._cum_work[7] == 0
+    assert eng._cum[8] - eng._cum[7] == 5000
+    # (b) range-addressable decode == fresh decode (normal units only)
+    ids_a, seqs_a = eng._units_for_range(3, 17)
+    ids_b, seqs_b = eng._load_units(3, 17, keep_giants=False)
+    assert list(ids_a) == list(ids_b) and 7 not in set(
+        eng.unit_meta[ids_a, 0])
+    assert all(np.array_equal(a, b) for a, b in zip(seqs_a, seqs_b))
+    # (c) wave-2 pack cache across searches
+    calls = []
+    orig = eng._pack_ranges
+    eng._pack_ranges = lambda pieces: (calls.append(tuple(pieces)),
+                                       orig(pieces))[1]
+    query = preprocess_query("q", "".join(rng.choice(AA, 60)), 1, 3)
+    r1 = eng.search_batch([query])[0]
+    npacks = len(calls)
+    assert npacks >= 1
+    r2 = eng.search_batch([query])[0]
+    assert len(calls) == npacks, calls
+    assert [(h.seqno, h.score) for h in r1.hits] == \
+           [(h.seqno, h.score) for h in r2.hits] and r1.count > 0
