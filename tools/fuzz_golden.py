@@ -99,6 +99,15 @@ def one_case(ref_bin, d, rng, case):
         s = "".join(rng.choice(alpha, int(rng.integers(3, maxlen))))
         seqs.append(encode(s, cmap))
         descs.append(f"fz{i} fuzz sequence {i} with words")
+    if not big and rng.random() < 0.05:
+        # one chromosome-scale subject (beyond the engine's giant
+        # threshold, max_cols=16384 on the lax route): drives the
+        # exact-overlapped-segmentation carry path through the full
+        # CLI -> kernel -> top-K -> report chain vs the reference
+        s = "".join(rng.choice(alpha, int(rng.integers(18_000, 30_000))))
+        seqs.append(encode(s, cmap))
+        descs.append(f"fz{nseq} fuzz giant subject {nseq}")
+        nseq += 1
     taxids = None
     if rng.random() < 0.12:
         taxids = [int(rng.integers(1, 9)) * 100 for _ in range(nseq)]
@@ -128,7 +137,9 @@ def one_case(ref_bin, d, rng, case):
     qf = os.path.join(d, f"q{case}.fa")
     with open(qf, "w") as f:
         for qi in range(nq):
-            q = "".join(rng.choice(qalpha, int(rng.integers(8, 150))))
+            qmax = 1200 if rng.random() < 0.05 else 150   # long queries:
+            # row caps, hint binning, length-adjustment regimes
+            q = "".join(rng.choice(qalpha, int(rng.integers(8, qmax))))
             desc = f">fq{case}_{qi} fuzz query {case}.{qi}"
             if rng.random() < 0.08:
                 desc = ">"        # empty description (query_show parity)
