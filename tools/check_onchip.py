@@ -38,6 +38,10 @@ CASES = [
     ("lanes1024_q600",  900, (30, 400),   600, {}),
     ("long_q1300",      600, (30, 400),  1300, {}),
     ("giant_carry",      40, (50, 200),    90, {"giant": 30_000}),
+    # blastn: nt16 codes + synthesized match/mismatch matrix exercise a
+    # different dprofile alphabet slice on-chip (plus strand, so the
+    # oracle needs no strand max)
+    ("blastn_q500",    1500, (40, 900),   500, {"nt": True}),
 ]
 
 
@@ -46,7 +50,7 @@ def main():
     import jax
 
     from swipe_tpu import native
-    from swipe_tpu.alphabet import MAP_NCBI_AA, encode
+    from swipe_tpu.alphabet import MAP_NCBI_AA, MAP_NCBI_NT16, encode
     from swipe_tpu.cli import _enable_compile_cache
     from swipe_tpu.io.db import FastaDatabase
     from swipe_tpu.io.fasta import preprocess_query
@@ -63,24 +67,38 @@ def main():
     rng = np.random.default_rng(seed)
     failed = 0
     for name, nseq, (lo, hi), qlen, opt in CASES:
-        strs = ["".join(rng.choice(AA, int(L)))
+        nt = bool(opt.get("nt"))
+        alpha = list("ACGT") if nt else AA
+        strs = ["".join(rng.choice(alpha, int(L)))
                 for L in rng.integers(lo, hi, size=nseq)]
         if opt.get("giant"):
-            strs.append("".join(rng.choice(AA, opt["giant"])))
+            strs.append("".join(rng.choice(alpha, opt["giant"])))
         fasta = "".join(f">s{i} c{i}\n{s}\n" for i, s in enumerate(strs))
-        db = FastaDatabase(io.StringIO(fasta), "aa", title=name)
-        params = SearchParams(symtype=1, gapopen=11, gapextend=1,
-                              descriptions=len(strs), alignments=0,
-                              expect=1e12)
+        db = FastaDatabase(io.StringIO(fasta), "nt" if nt else "aa",
+                           title=name)
+        if nt:
+            params = SearchParams(symtype=0, matchscore=1,
+                                  mismatchscore=-3, gapopen=5, gapextend=2,
+                                  querystrands=1, descriptions=len(strs),
+                                  alignments=0, expect=1e12)
+        else:
+            params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                                  descriptions=len(strs), alignments=0,
+                                  expect=1e12)
         eng = SearchEngine(db, params)          # auto -> stream on TPU
         if opt.get("flow"):
             eng.FLOW_MIN_AVG_LANE = 0           # force the flow series
-        q = preprocess_query("q", "".join(rng.choice(AA, qlen)), 1, 3)
+        qstr = "".join(rng.choice(alpha, qlen))
+        q = preprocess_query("q", qstr, params.symtype,
+                             params.querystrands)
         t0 = time.time()
         hits = eng.search(q)
         wall = time.time() - t0
-        codes = [encode(s, MAP_NCBI_AA) for s in strs]
-        want = sw_numpy_many(q.aa[0], codes, eng.matrix.matrix, 11, 1)
+        cmap = MAP_NCBI_NT16 if nt else MAP_NCBI_AA
+        codes = [encode(s, cmap) for s in strs]
+        want = sw_numpy_many(q.nt[0] if nt else q.aa[0], codes,
+                             eng.matrix.matrix, params.gapopen,
+                             params.gapextend)
         bad = [(h.seqno, h.score, int(want[h.seqno]))
                for h in hits.hits if h.score != want[h.seqno]]
         # completeness: the kept scores must be exactly the oracle's
