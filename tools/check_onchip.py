@@ -42,6 +42,11 @@ CASES = [
     # different dprofile alphabet slice on-chip (plus strand, so the
     # oracle needs no strand max)
     ("blastn_q500",    1500, (40, 900),   500, {"nt": True}),
+    # VMEM-budget boundaries: the exact row caps of the streamed-profile
+    # tiers (STREAM_ROWS_DPROF_I16) — the shape class where an over-VMEM
+    # kernel kills the remote compile helper (round-4 cfg3 regression)
+    ("cap2048_q512",   1200, (30, 500),   512, {}),
+    ("cap1024_q1024",   700, (30, 400),  1024, {}),
 ]
 
 
