@@ -180,7 +180,7 @@ def hint_endpoints_many(qseq: np.ndarray, dseqs: list[np.ndarray],
 
 
 # sub-batch footprint cap for the grid pass: bins x len_pad x lanes int8
-_GRID_BYTES = 256 << 20
+_GRID_BYTES = 64 << 20
 # test/observability knobs: force the kernel route off-accelerator (with
 # interpret) and count device dispatches (the batch-align contract: O(1)
 # dispatches per query batch, not one per (query, bin))
@@ -251,16 +251,28 @@ def hint_endpoints_grid(jobs, matrix, gapopen: int, gapextend: int,
     from .sw_stream import build_matrix8, build_qcodes, sw_hint_stream
 
     m8 = jnp.asarray(build_matrix8(mat))
-    # sort by subject length so same-scale bins share a sub-batch
+    # sort by subject length so same-scale bins share a sub-batch.
+    # Host-cost discipline (measured, round 4): the dense upload array
+    # is nb_pad x len_pad x 1024 bytes for a few KB of real subjects —
+    # a 2048-column rounding put a 16-bin 200aa batch at 67 MB, which
+    # is above the brk-reuse threshold (M_MMAP_THRESHOLD caps at 32 MB)
+    # so EVERY align phase paid ~34 ms/MB of fresh first-touch faults:
+    # 1.27 s of a 1.42 s end-to-end batch wall.  512-column rounding
+    # (KSEG-aligned) keeps typical batches under 10 MB and reusable.
+    # nb is a jit dimension: bucket it to a power of two (pad bins
+    # replicate bin 0's query over all-PAD lanes; their results are
+    # dropped) so batch composition doesn't churn minutes-long tunnel
+    # compiles.
     batch.sort(key=lambda t: t[1])
     i = 0
     while i < len(batch):
         group = [batch[i]]
-        len_pad = -(-batch[i][1] // 2048) * 2048
+        len_pad = -(-batch[i][1] // 512) * 512
         i += 1
         while i < len(batch):
-            lp = -(-batch[i][1] // 2048) * 2048
-            if lp * 1024 * (len(group) + 1) > _GRID_BYTES:
+            lp = -(-batch[i][1] // 512) * 512
+            npad = 1 << len(group).bit_length()     # padded size if added
+            if lp * 1024 * npad > _GRID_BYTES:
                 break
             len_pad = lp
             group.append(batch[i])
@@ -268,13 +280,15 @@ def hint_endpoints_grid(jobs, matrix, gapopen: int, gapextend: int,
         qlen_pad = max(128, -(-max(len(jobs[bi][0])
                                    for bi, _ in group) // 128) * 128)
         nb = len(group)
-        qc, ql = build_qcodes(
-            [np.asarray(jobs[bi][0]) for bi, _ in group], qlen_pad)
-        dense = np.full((nb, len_pad, 1024), PAD_SYMBOL, dtype=np.int8)
+        nbp = 1 << (nb - 1).bit_length() if nb > 1 else 1
+        qlist = [np.asarray(jobs[bi][0]) for bi, _ in group]
+        qlist += [qlist[0]] * (nbp - nb)
+        qc, ql = build_qcodes(qlist, qlen_pad)
+        dense = np.full((nbp, len_pad, 1024), PAD_SYMBOL, dtype=np.int8)
         for gi, (bi, _) in enumerate(group):
             for j, d in enumerate(jobs[bi][1]):
                 dense[gi, : len(d), j] = np.asarray(d, dtype=np.int8)
-        starts = np.zeros((nb, 1024), dtype=np.int32)
+        starts = np.zeros((nbp, 1024), dtype=np.int32)
         global GRID_DISPATCHES
         GRID_DISPATCHES += 1
         S, bq, bp = sw_hint_stream(
