@@ -228,7 +228,16 @@ def hint_endpoints_grid(jobs, matrix, gapopen: int, gapextend: int,
         if (on_dev and mat.min() >= -128 and mat.max() <= 127
                 and 0 < len(q) <= 1024 and dseqs
                 and 0 < len(dseqs) <= 1024
-                and max(lens) <= GIANT_HINT_MIN):
+                and max(lens) <= GIANT_HINT_MIN
+                # the grid's lane dim is pinned at the kernel's
+                # 1024-lane width floor, so a single subject beyond
+                # _GRID_BYTES/1024 (~64k cols) would form a one-bin
+                # group whose dense upload alone exceeds the 64 MB
+                # footprint cap and re-pays the >32 MB first-touch
+                # fault cost the cap exists to avoid; such subjects
+                # take the per-bin fallback (device pass via
+                # _hint_batch above DEVICE_CELLS)
+                and (-(-max(lens) // 512) * 512) * 1024 <= _GRID_BYTES):
             batch.append((bi, max(lens)))
             total_cells += len(q) * sum(lens)
         else:

@@ -190,6 +190,31 @@ def assign_ranges(segments: list[tuple[int, int]], weights: np.ndarray,
     return out
 
 
+def stabilize_speeds(prev: np.ndarray | None, speeds: np.ndarray,
+                     drift: float) -> np.ndarray:
+    """Hysteresis over allgathered per-host speeds.
+
+    A rank whose shard had zero wave-1 work (all-giant or empty)
+    measures speed 0 every batch; substitute the mean of the positive
+    speeds (the normalization ``assign_ranges`` itself applies) so one
+    workless rank cannot disable the hysteresis — and the wave-2 pack
+    cache — fleet-wide.  Then, when the fresh speeds keep the same
+    relative shape as the ones that produced the cached assignment
+    (every ratio within ``drift`` of the mean drift), return ``prev``
+    unchanged so the assignment — and therefore the wave-2 pack cache —
+    is stable under measurement noise.  All inputs are derived from
+    allgathered arrays, so every host computes the identical result.
+    """
+    if (speeds <= 0).any() and (speeds > 0).any():
+        speeds = speeds.copy()
+        speeds[speeds <= 0] = speeds[speeds > 0].mean()
+    if prev is not None and (prev > 0).all() and (speeds > 0).all():
+        r = speeds / prev
+        if r.max() <= drift * r.min():
+            return prev
+    return speeds
+
+
 def _pick_stream_mode(use_pallas: bool, lpd: int, qlen_pad: int
                       ) -> tuple[str, int]:
     """Kernel route for the multi-host search step.
@@ -365,7 +390,7 @@ class MultiHostEngine(SearchEngine):
         self._seg_packs = {}
         self._dev_seg = {}
         self._wave1_chunks = None
-        # wave-2 pack cache: one entry, keyed by the assigned ranges —
+        # wave-2 pack cache: two entries, keyed by the assigned ranges —
         # steady-state query streams (speeds within SPEED_DRIFT of the
         # ones that produced the cached assignment) reuse the packed
         # chunks instead of re-decoding + re-packing ~3/4 of the shard
@@ -570,17 +595,8 @@ class MultiHostEngine(SearchEngine):
         # ---- rebalance: measured speeds -> deterministic reassignment ----------
         speeds = np.asarray(mhu.process_allgather(
             np.array([speed], np.float64))).reshape(self._nproc)
-        # hysteresis: when the fresh speeds keep the same relative shape
-        # as the ones that produced the cached assignment (every ratio
-        # within SPEED_DRIFT of the mean drift), reuse those speeds so
-        # the assignment — and therefore the wave-2 pack cache — is
-        # stable under measurement noise.  prev is derived from earlier
-        # allgathers, so every host takes the same branch.
-        prev = self._assign_speeds
-        if prev is not None and (prev > 0).all() and (speeds > 0).all():
-            r = (speeds / prev)
-            if r.max() <= self.SPEED_DRIFT * r.min():
-                speeds = prev
+        speeds = stabilize_speeds(self._assign_speeds, speeds,
+                                  self.SPEED_DRIFT)
         self._assign_speeds = speeds
         segments = [(int(self._wave_splits[h]), int(self._ranges[h][1]))
                     for h in range(self._nproc)]
@@ -597,12 +613,7 @@ class MultiHostEngine(SearchEngine):
               f"{'dynamic' if skewed else 'static'})", file=sys.stderr)
 
         # ---- wave 2: reassigned remainder ---------------------------------------
-        key = tuple(mine)
-        wave2 = self._wave2_cache.get(key)
-        if wave2 is None:
-            wave2 = self._pack_ranges(mine)
-            self._wave2_cache = {key: wave2}     # keep only the latest
-        for ch in wave2:
+        for ch in self._wave2_for(mine):
             payloads.append(score_chunk(ch))
 
         # ---- one DCN exchange of the reduced payloads ---------------------------
@@ -615,6 +626,24 @@ class MultiHostEngine(SearchEngine):
         self._mh_score_giants(
             slots, qlen_pad, timings,
             kind="stream" if use_pallas else "lax")
+
+    def _wave2_for(self, mine):
+        """Packed chunks for this host's wave-2 ranges, LRU-cached.
+
+        Holds TWO entries so skew oscillating around REBALANCE_TOL
+        (static assignment <-> one dynamic assignment) stays cached
+        instead of re-packing ~3/4 of the shard per flip; a cache hit
+        refreshes LRU position so the alternation partner survives."""
+        key = tuple(mine)
+        wave2 = self._wave2_cache.get(key)
+        if wave2 is None:
+            wave2 = self._pack_ranges(mine)
+            self._wave2_cache[key] = wave2
+            while len(self._wave2_cache) > 2:
+                self._wave2_cache.pop(next(iter(self._wave2_cache)))
+        else:
+            self._wave2_cache[key] = self._wave2_cache.pop(key)
+        return wave2
 
     def _mh_score_giants(self, slots, qlen_pad, timings, *, kind):
         """Chromosome-scale units under multi-host: local carry series,

@@ -496,3 +496,59 @@ def test_multihost_work_curve_and_pack_cache():
     assert len(calls) == npacks, calls
     assert [(h.seqno, h.score) for h in r1.hits] == \
            [(h.seqno, h.score) for h in r2.hits] and r1.count > 0
+
+def test_speed_hysteresis_unit():
+    """stabilize_speeds (the SPEED_DRIFT hysteresis, extracted):
+    (a) within-drift speeds return prev EXACTLY, so assign_ranges — and
+    the wave-2 pack-cache key — is bit-stable under measurement noise;
+    (b) beyond-drift speeds are adopted and change the assignment;
+    (c) a rank with zero wave-1 work (all-giant/empty shard) is filled
+    with the mean of the positive speeds, so ONE workless rank cannot
+    disable cache reuse fleet-wide."""
+    from swipe_tpu.parallel.multihost import (MultiHostEngine,
+                                              assign_ranges,
+                                              stabilize_speeds)
+    drift = MultiHostEngine.SPEED_DRIFT
+    prev = stabilize_speeds(None, np.array([100.0, 200.0]), drift)
+    cum = np.concatenate([[0], np.cumsum(np.full(100, 10))])
+    segs = [(0, 100)]
+    a_prev = assign_ranges(segs, prev, cum)
+    # (a) same relative shape, within drift -> reuse prev, same ranges
+    near = stabilize_speeds(prev, np.array([104.0, 202.0]), drift)
+    assert near is prev
+    assert assign_ranges(segs, near, cum) == a_prev
+    # (b) beyond drift -> fresh speeds, different assignment
+    far = stabilize_speeds(prev, np.array([100.0, 400.0]), drift)
+    assert np.array_equal(far, [100.0, 400.0])
+    assert assign_ranges(segs, far, cum) != a_prev
+    # (c) zero-speed rank filled from the positive mean; reuse survives
+    pz = stabilize_speeds(None, np.array([0.0, 150.0]), drift)
+    assert np.array_equal(pz, [150.0, 150.0])
+    assert stabilize_speeds(pz, np.array([0.0, 155.0]), drift) is pz
+    # all-zero (first batch, empty db edge): passed through untouched
+    z = stabilize_speeds(None, np.zeros(2), drift)
+    assert np.array_equal(z, np.zeros(2))
+
+
+def test_wave2_cache_holds_two_assignments():
+    """The wave-2 pack cache holds TWO entries with LRU refresh: skew
+    oscillating around REBALANCE_TOL alternates between the static and
+    one dynamic assignment; both must stay cached (one-entry caching
+    re-packed ~3/4 of the shard on every flip)."""
+    from swipe_tpu.parallel.multihost import MultiHostEngine
+    eng = MultiHostEngine.__new__(MultiHostEngine)
+    eng._wave2_cache = {}
+    packs = []
+    eng._pack_ranges = lambda mine: (packs.append(tuple(mine)),
+                                     ["pack", tuple(mine)])[1]
+    a, b, c = [(0, 50)], [(0, 80)], [(0, 30)]
+    for mine in (a, b, a, b, a, b):          # oscillation: 2 packs total
+        out = eng._wave2_for(mine)
+        assert out == ["pack", tuple(mine)]
+    assert packs == [tuple(a), tuple(b)]
+    eng._wave2_for(c)                        # third key evicts the LRU (a)
+    assert packs == [tuple(a), tuple(b), tuple(c)]
+    eng._wave2_for(b)                        # still cached
+    assert len(packs) == 3
+    eng._wave2_for(a)                        # evicted -> re-packed
+    assert packs[-1] == tuple(a) and len(packs) == 4
