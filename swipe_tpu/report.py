@@ -211,6 +211,43 @@ def _ops_iter(alignment: str):
         yield op, int(num)
 
 
+_OP_M, _OP_D, _OP_I = ord("M"), ord("D"), ord("I")
+
+
+def _ops_arrays(alignment: str) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a run-length op string into (op codes, run lengths)."""
+    ops = re.findall(r"([MDI])(\d+)", alignment)
+    if not ops:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int64))
+    opc = np.frombuffer("".join(o for o, _ in ops).encode("ascii"),
+                        np.uint8)
+    lns = np.array([int(n) for _, n in ops], dtype=np.int64)
+    return opc, lns
+
+
+def _expand_runs(opc: np.ndarray, lns: np.ndarray):
+    """Per-display-column decode of an op-run list.
+
+    Returns (col_op, qoff, doff): the op code of every aligned column,
+    and the number of query / db residues consumed BEFORE each column —
+    so column t pairs q_seq[q_start + qoff[t]] (when col_op != I) with
+    d_seq[d_start + doff[t]] (when col_op != D).  This replaces the
+    per-residue Python walk of the reference's count_align/whole_align
+    (/root/reference/hits.cc:862-1010) with NumPy over the whole
+    alignment — at -b 100 batch scale the scalar walk was a measured
+    host-side cost of the align phase."""
+    col_op = np.repeat(opc, lns)
+    qadv = col_op != _OP_I
+    dadv = col_op != _OP_D
+    qoff = np.cumsum(qadv) - qadv
+    doff = np.cumsum(dadv) - dadv
+    return col_op, qoff, doff
+
+
+def _sym_lut(sym: str) -> np.ndarray:
+    return np.frombuffer(sym.encode("latin-1"), np.uint8)
+
+
 class Reporter:
     """Renders one query's results in the chosen view."""
 
@@ -258,58 +295,42 @@ class Reporter:
     def align_stats(self, h: Hit, build_lines: bool = False) -> AlignStats:
         st = AlignStats()
         sym, q_seq, q_len_nt, d_len_nt = self._seq_context(h)
-        d_seq = h.dseq
-        qpos, dpos = h.align_q_start, h.align_d_start
-        qparts, aparts, dparts = [], [], []
-        for op, ln in _ops_iter(h.alignment):
-            st.aligned += ln
-            if op == "D":
-                if build_lines:
-                    for _ in range(ln):
-                        qparts.append(sym[q_seq[qpos]])
-                        aparts.append(" ")
-                        dparts.append("-")
-                        qpos += 1
-                else:
-                    qpos += ln
-                st.gaps += 1
-                st.indels += ln
-            elif op == "I":
-                if build_lines:
-                    for _ in range(ln):
-                        qparts.append("-")
-                        aparts.append(" ")
-                        dparts.append(sym[d_seq[dpos]])
-                        dpos += 1
-                else:
-                    dpos += ln
-                st.gaps += 1
-                st.indels += ln
-            else:
-                for _ in range(ln):
-                    qs = int(q_seq[qpos])
-                    ds = int(d_seq[dpos])
-                    qpos += 1
-                    dpos += 1
-                    if qs == ds:
-                        st.identities += 1
-                        st.positives += 1
-                        ach = "|"
-                    elif self.matrix[qs, ds] > 0:
-                        st.positives += 1
-                        ach = "+"
-                    else:
-                        ach = " "
-                    # whole_align (hits.cc:925-940): '|' for identities in
-                    # every mode, unlike the plain pairwise display
-                    if build_lines:
-                        qparts.append(sym[qs])
-                        aparts.append(ach)
-                        dparts.append(sym[ds])
-        if build_lines:
-            st.qline = "".join(qparts)
-            st.aline = "".join(aparts)
-            st.dline = "".join(dparts)
+        d_seq = np.asarray(h.dseq) if h.dseq is not None else None
+        opc, lns = _ops_arrays(h.alignment)
+        st.aligned = int(lns.sum())
+        gapruns = opc != _OP_M
+        st.gaps = int(gapruns.sum())
+        st.indels = int(lns[gapruns].sum())
+        if st.aligned:
+            col_op, qoff, doff = _expand_runs(opc, lns)
+            mcol = col_op == _OP_M
+            qarr = np.asarray(q_seq)
+            qsv = qarr[h.align_q_start + qoff[mcol]].astype(np.int64)
+            dsv = d_seq[h.align_d_start + doff[mcol]].astype(np.int64)
+            eq = qsv == dsv
+            st.identities = int(eq.sum())
+            st.positives = int((eq | (self.matrix[qsv, dsv] > 0)).sum())
+            if build_lines:
+                lut = _sym_lut(sym)
+                T = st.aligned
+                qline = np.full(T, ord("-"), np.uint8)
+                aline = np.full(T, ord(" "), np.uint8)
+                dline = np.full(T, ord("-"), np.uint8)
+                qcols = col_op != _OP_I
+                dcols = col_op != _OP_D
+                qline[qcols] = lut[qarr[h.align_q_start + qoff[qcols]]]
+                dline[dcols] = lut[d_seq[h.align_d_start + doff[dcols]]]
+                # whole_align (hits.cc:925-940): '|' for identities in
+                # every mode, unlike the plain pairwise display
+                aline[mcol] = np.where(
+                    eq, np.uint8(ord("|")),
+                    np.where(self.matrix[qsv, dsv] > 0,
+                             np.uint8(ord("+")), np.uint8(ord(" "))))
+                st.qline = qline.tobytes().decode("latin-1")
+                st.aline = aline.tobytes().decode("latin-1")
+                st.dline = dline.tobytes().decode("latin-1")
+        elif build_lines:
+            st.qline = st.aline = st.dline = ""
 
         # display coordinates (count_align, hits.cc:1113-1175)
         q_first, q_last = h.align_q_start, h.align_q_end
@@ -374,12 +395,47 @@ class Reporter:
 
         out = []
         ALIGNLEN = 60
-        q_pos, d_pos = h.align_q_start, h.align_d_start
-        q_start, d_start = q_pos, d_pos
-        qline, aline, dline = [], [], []
+        opc, lns = _ops_arrays(h.alignment)
+        T = int(lns.sum())
+        if T == 0:
+            return ""
+        # whole-alignment character rows + per-column consumed counts in
+        # NumPy (the scalar per-residue walk was a measured host cost at
+        # -b 100 batch scale); the 60-column block loop below only does
+        # the per-block coordinate remap + formatting
+        col_op, qoff, doff = _expand_runs(opc, lns)
+        mcol = col_op == _OP_M
+        qcols = col_op != _OP_I
+        dcols = col_op != _OP_D
+        lut = _sym_lut(sym)
+        qarr = np.asarray(q_seq)
+        darr = np.asarray(d_seq)
+        qline = np.full(T, ord("-"), np.uint8)
+        aline = np.full(T, ord(" "), np.uint8)
+        dline = np.full(T, ord("-"), np.uint8)
+        qsv = qarr[h.align_q_start + qoff[mcol]].astype(np.int64)
+        dsv = darr[h.align_d_start + doff[mcol]].astype(np.int64)
+        qline[qcols] = lut[qarr[h.align_q_start + qoff[qcols]]]
+        dline[dcols] = lut[darr[h.align_d_start + doff[dcols]]]
+        eq = qsv == dsv
+        if self.symtype == 0:
+            aline[mcol] = np.where(eq, np.uint8(ord("|")),
+                                   np.uint8(ord(" ")))
+        else:
+            aline[mcol] = np.where(
+                eq, lut[qsv],
+                np.where(self.matrix[qsv, dsv] > 0,
+                         np.uint8(ord("+")), np.uint8(ord(" "))))
+        # residues consumed after column t (exclusive prefix -> inclusive)
+        qend = qoff + qcols
+        dend = doff + dcols
 
-        def flush():
-            nonlocal q_start, d_start
+        for c0 in range(0, T, ALIGNLEN):
+            c1 = min(c0 + ALIGNLEN, T)
+            q_start = h.align_q_start + int(qoff[c0])
+            d_start = h.align_d_start + int(doff[c0])
+            q_pos = h.align_q_start + int(qend[c1 - 1])
+            d_pos = h.align_d_start + int(dend[c1 - 1])
             q1 = q_start + 1
             q2 = q_pos
             d1 = d_start + 1
@@ -402,47 +458,14 @@ class Reporter:
                     d1 = 3 * d_start + h.dframe + 1
                     d2 = 3 * d_pos + h.dframe
             out.append("\n")
-            out.append("Query: %*d %s %d\n" % (poswidth, q1, "".join(qline),
-                                               q2))
-            out.append("       %*s %s\n" % (poswidth, "", "".join(aline)))
-            out.append("Sbjct: %*d %s %d\n" % (poswidth, d1, "".join(dline),
-                                               d2))
-            qline.clear()
-            aline.clear()
-            dline.clear()
-
-        for op, ln in _ops_iter(h.alignment):
-            for _ in range(ln):
-                if not qline:
-                    q_start, d_start = q_pos, d_pos
-                if op == "M":
-                    qs = int(q_seq[q_pos])
-                    ds = int(d_seq[d_pos])
-                    q_pos += 1
-                    d_pos += 1
-                    qline.append(sym[qs])
-                    if self.symtype == 0:
-                        aline.append("|" if qs == ds else " ")
-                    else:
-                        aline.append(sym[qs] if qs == ds else
-                                     ("+" if self.matrix[qs, ds] > 0 else " "))
-                    dline.append(sym[ds])
-                elif op == "D":
-                    qs = int(q_seq[q_pos])
-                    q_pos += 1
-                    qline.append(sym[qs])
-                    aline.append(" ")
-                    dline.append("-")
-                else:
-                    ds = int(d_seq[d_pos])
-                    d_pos += 1
-                    qline.append("-")
-                    aline.append(" ")
-                    dline.append(sym[ds])
-                if len(qline) == ALIGNLEN:
-                    flush()
-        if qline:
-            flush()
+            out.append("Query: %*d %s %d\n" % (
+                poswidth, q1,
+                qline[c0:c1].tobytes().decode("latin-1"), q2))
+            out.append("       %*s %s\n" % (
+                poswidth, "", aline[c0:c1].tobytes().decode("latin-1")))
+            out.append("Sbjct: %*d %s %d\n" % (
+                poswidth, d1,
+                dline[c0:c1].tobytes().decode("latin-1"), d2))
         return "".join(out)
 
     # ---- views ---------------------------------------------------------------
