@@ -525,13 +525,20 @@ class MultiHostEngine(SearchEngine):
         step = _mh_step(mesh, p.gapopenextend, p.gapextend, kbase,
                         self.matrix.scorelimit_7, self.matrix.scorelimit_16,
                         mode)
-        # test-only fault injection: a deliberately slowed rank for the
-        # dynamic-balance test (subprocess CLI runs cannot monkeypatch)
+        # test-only fault injection: deliberately slowed rank(s) for the
+        # dynamic-balance tests (subprocess CLI runs cannot monkeypatch).
+        # SWIPE_TPU_TEST_SLOW_RANK takes a comma list of ranks;
+        # SWIPE_TPU_TEST_CHUNK_SLEEP one sleep per listed rank (the last
+        # entry repeats when shorter).
         import os
-        slow = (os.environ.get("SWIPE_TPU_TEST_SLOW_RANK", "") ==
-                str(self._pid))
-        chunk_sleep = float(os.environ.get(
-            "SWIPE_TPU_TEST_CHUNK_SLEEP", "0")) if slow else 0.0
+        slow_ids = [s for s in os.environ.get(
+            "SWIPE_TPU_TEST_SLOW_RANK", "").split(",") if s != ""]
+        chunk_sleep = 0.0
+        if str(self._pid) in slow_ids:
+            sleeps = os.environ.get(
+                "SWIPE_TPU_TEST_CHUNK_SLEEP", "0").split(",")
+            idx = min(slow_ids.index(str(self._pid)), len(sleeps) - 1)
+            chunk_sleep = float(sleeps[idx])
 
         def score_chunk(ch):
             """One local chunk -> (top, units, totalh, obvious, n16,
