@@ -311,10 +311,16 @@ def open_database(a: Args):
     exts = (".pal", ".pin") if protein_family else (".nal", ".nin")
     for ext in exts:
         if os.path.exists(a.databasename + ext):
-            return blastdb.BlastDatabase(
-                a.databasename, dbtype, db_gencode=a.db_gencode,
-                taxid_file=a.taxidfilename, show_gis=bool(a.show_gis),
-                show_taxid=bool(a.show_taxid))
+            try:
+                return blastdb.BlastDatabase(
+                    a.databasename, dbtype, db_gencode=a.db_gencode,
+                    taxid_file=a.taxidfilename, show_gis=bool(a.show_gis),
+                    show_taxid=bool(a.show_taxid))
+            except ValueError as e:
+                # reader diagnostics carry the reference's exact fatal
+                # texts (database.cc:545-570, 804, 851): bare message on
+                # stderr + exit 1, not a Python traceback
+                fatal(str(e))
     if os.path.exists(a.databasename):
         if a.taxidfilename:
             fatal("Taxid filtering (-x) requires a BLAST-format database.")

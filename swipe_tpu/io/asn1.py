@@ -429,6 +429,21 @@ def _enc_seqid(sid: SeqId) -> bytes:
         inner = _ctx(0x30, _ctx(0xA0, _enc_string(sid.gnl_db))
                      + _ctx(0xA1, oid))
         return _ctx(tag, inner)
+    if sid.kind == "gim":
+        # Giimport-id: SEQUENCE { id INTEGER } (asnparse.cc:367-380)
+        return _ctx(tag, _ctx(0x30, _ctx(0xA0, _enc_int(sid.number))))
+    if sid.kind == "pat":
+        # Patent-seq-id { seqid INTEGER, cit Id-pat { country, id CHOICE
+        # { number[A0] | app-number[A1] } } } (asnparse.cc:293-356)
+        idpat = _ctx(0x30, _ctx(0xA0, _enc_string(sid.pat_country))
+                     + _ctx(0xA1, _ctx(0xA0 if sid.pat_granted else 0xA1,
+                                       _enc_string(sid.pat_id))))
+        inner = _ctx(0xA0, _enc_int(sid.pat_sequence)) + _ctx(0xA1, idpat)
+        return _ctx(tag, _ctx(0x30, inner))
+    if sid.kind == "pdb":
+        # PDB-seq-id { mol, chain INTEGER OPTIONAL } (asnparse.cc:590-617)
+        return _ctx(tag, _ctx(0x30, _ctx(0xA0, _enc_string(sid.pdb_molid))
+                              + _ctx(0xA1, _enc_int(sid.pdb_chain))))
     # textseq kinds
     fields = b""
     if sid.name:

@@ -36,8 +36,27 @@ class _Volume:
     def __init__(self, basename: str, protein: bool):
         ext = "p" if protein else "n"
         self.basename = basename
-        with open(f"{basename}.{ext}in", "rb") as f:
-            idx = f.read()
+        # the reference opens and maps all three files BEFORE parsing
+        # the index (db_open_xin, database.cc:543-570), so failure
+        # messages — and their order under combined corruption — must
+        # match exactly: missing .xin, then an unmappable (empty) .xin,
+        # then missing .xhr, then missing .xsq (whose fatal format
+        # carries a trailing newline in the reference), then the
+        # version check
+        name_in = f"{basename}.{ext}in"
+        try:
+            with open(name_in, "rb") as f:
+                idx = f.read()
+        except OSError:
+            raise ValueError("Unable to open file %s." % name_in)
+        if not idx:
+            raise ValueError("Unable to map file %s in memory. It may be "
+                             "empty or too large." % name_in)
+        for suffix in ("hr", "sq"):
+            name = f"{basename}.{ext}{suffix}"
+            if not os.path.exists(name):
+                raise ValueError("Unable to open file %s." % name +
+                                 ("\n" if suffix == "sq" else ""))
         pos = 0
         self.version, self.dbtype = struct.unpack_from(">II", idx, pos)
         pos += 8
