@@ -37,6 +37,7 @@ cost, which the headline already reflects.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -63,6 +64,68 @@ def _backend_reachable(timeout: float = 900.0) -> bool:
         return r.returncode == 0
     except subprocess.TimeoutExpired:
         return False
+
+
+def _run_subbenches(budget_s: float) -> dict:
+    """The non-headline BASELINE configs, each in a CHILD process under
+    one wall budget (VERDICT r4 item 2: a kernel/align regression in
+    cfg-2/3/4, the cold path, or the sharded step must move a
+    driver-visible number).  Priority order: the cold/warm cfg-1 pair
+    (r4 item 1 — the reference binary starts instantly, swipe.cc:2507),
+    then the big-batch configs, then the sharded 1-chip step.
+
+    cold = a fresh process against an EMPTY compile-cache dir (the
+    true first-run wall: trace + lower + remote backend compile +
+    search + align); warm = a second fresh process against the SAME
+    now-populated cache dir (the `--prime`d steady state every later
+    process on the machine sees)."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = {}
+    t_start = time.time()
+
+    def left():
+        return budget_s - (time.time() - t_start)
+
+    def run(name, argv, timeout, env_extra=None, multi=False):
+        if left() < 30:
+            out[name] = {"skipped": "budget"}
+            return
+        env = dict(os.environ)
+        env.update(env_extra or {})
+        try:
+            r = subprocess.run(
+                [sys.executable] + argv, cwd=here, env=env,
+                timeout=min(timeout, max(left(), 30)),
+                capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            out[name] = {"error": "timeout"}
+            return
+        lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+        if r.returncode != 0 or not lines:
+            out[name] = {"error": (r.stderr or r.stdout).strip()[-300:]}
+        elif multi:
+            for ln in lines:
+                d = json.loads(ln)
+                out[d.pop("metric", name)] = d
+        else:
+            out[name] = json.loads(lines[-1])
+
+    cachedir = tempfile.mkdtemp(prefix="swipe_cold_cache_")
+    run("cfg1_cold", ["tools/bench_cold_child.py"], 1200,
+        {"JAX_COMPILATION_CACHE_DIR": cachedir})
+    run("cfg1_warm_process", ["tools/bench_cold_child.py"], 600,
+        {"JAX_COMPILATION_CACHE_DIR": cachedir})
+    run("cfg4", ["bench_configs.py", "--full", "--cfg=4"], 1200, multi=True)
+    run("cfg3", ["bench_configs.py", "--full", "--cfg=3"], 1200, multi=True)
+    run("cfg2", ["bench_configs.py", "--cfg=2"], 900, multi=True)
+    run("sharded_1chip", ["bench_scaling.py"], 900)
+    out["subbench_wall_s"] = round(time.time() - t_start, 1)
+    return out
 
 
 def main():
@@ -159,13 +222,17 @@ def main():
         # one timed chain = ONE dispatch: the R-query batch walks the
         # whole flow series (drains interleaved minter=2, series
         # head/tail state DMA elided), top-100 per query on device, one
-        # final top-100 across the batch — 100 ints cross the link
+        # final top-100 across the batch — 100 ints cross the link.
+        # EVERY device buffer (chunks AND profiles) rides as an
+        # argument: a closed-over jax.Array embeds in the lowered module
+        # at a measured ~200 s/MB (the round-4 cold-start wall)
         @jax.jit
-        def chain_impl(qc, ql, dps):
+        def chain_impl(qc, ql, chunks, dps):
             nq = qc.shape[0]
             h = e = s = None
             tops = None
-            for i, (d, st, eb, ln, src, w, nend) in enumerate(dev):
+            for i, (d, st, eb, ln, src) in enumerate(chunks):
+                w = d.shape[1]
                 if i == 0:
                     h, e, s = make_stream_state(nq, qlen_pad, w)
                 else:
@@ -179,16 +246,19 @@ def main():
                     qc, ql, m8, d, st, h, e, s,
                     gapopenextend=12, gapextend=1, dprof=dps[i],
                     minter=minter, carry_in=i > 0,
-                    carry_out=i < len(dev) - 1)
-                if nend:
+                    carry_out=i < len(chunks) - 1)
+                if eb.shape[0]:
                     sc = gather_scores(out, eb, ln)
                     part = jax.lax.top_k(sc, min(100, sc.shape[1]))[0]
                     tops = part if tops is None else \
                         jnp.concatenate([tops, part], axis=1)
             return jax.lax.top_k(tops.reshape(-1), 100)[0]
 
+        chunks_arg = tuple((d, st, eb, ln, src)
+                           for d, st, eb, ln, src, _w, _n in dev)
+
         def chain(qc, ql):
-            return chain_impl(qc, ql, dprofs)
+            return chain_impl(qc, ql, chunks_arg, dprofs)
 
         def stack(a, b):
             return qc_all[a:b], ql_all[a:b]
@@ -242,6 +312,9 @@ def main():
     t_rep = max(t_rep, 1e-9)
 
     gcups = cells / t_rep / 1e9
+    if on_tpu:
+        budget = float(os.environ.get("SWIPE_TPU_BENCH_BUDGET_S", "2400"))
+        extra["configs"] = _run_subbenches(budget)
     print(json.dumps({
         "metric": "GCUPS_1chip_blastp_10kseq",
         "value": round(gcups, 3),

@@ -82,6 +82,61 @@ def fatal(msg: str):
     sys.exit(1)
 
 
+class _WedgeWatchdog:
+    """Convert a wedged TPU backend into a clean fatal instead of an
+    indefinite hang (the round-3/4 failure class captured by
+    tools/capture_compile_failure.py): an over-VMEM remote compile can
+    leave the tunnel plugin holding the chip, after which backend init
+    or the first kernel compile blocks FOREVER inside native code — no
+    Python exception can interrupt it, only process death.  A daemon
+    timer turns the hang into the reference's fatal() semantics with
+    recovery instructions, and since the stuck process is THIS one,
+    exiting also releases whatever the wedge holds.
+
+    Armed around backend-touching phases (engine construction, every
+    search dispatch).  SWIPE_TPU_WEDGE_TIMEOUT_S overrides the limit
+    (0 disables); the default must comfortably exceed a legitimate
+    cold first compile through the tunnel (minutes)."""
+
+    DEFAULT_S = 1800.0
+
+    def __init__(self, what: str):
+        self.what = what
+        self.timeout = float(os.environ.get(
+            "SWIPE_TPU_WEDGE_TIMEOUT_S", str(self.DEFAULT_S)))
+        self.timer = None
+
+    def _fire(self):
+        sys.stderr.write(
+            "swipe_tpu: FATAL: %s exceeded %.0fs — the TPU backend "
+            "appears wedged (a failed remote compile can leave the "
+            "tunnel holding the chip; see README 'TPU backend hangs').\n"
+            "Recovery: kill any EXACT stuck swipe/jax process pid "
+            "(never by pattern), then rerun; raise "
+            "SWIPE_TPU_WEDGE_TIMEOUT_S if this was a genuine slow "
+            "cold compile.\n" % (self.what, self.timeout))
+        sys.stderr.flush()
+        os._exit(1)
+
+    def __enter__(self):
+        if self.timeout > 0:
+            import threading
+            self.timer = threading.Timer(self.timeout, self._fire)
+            self.timer.daemon = True
+            self.timer.start()
+        # test hook: an injected wedge (sleeps forever inside the
+        # watched phase) so the degradation path is testable end-to-end
+        if os.environ.get("SWIPE_TPU_TEST_WEDGE"):
+            import time as _t
+            _t.sleep(3600)
+        return self
+
+    def __exit__(self, *exc):
+        if self.timer is not None:
+            self.timer.cancel()
+        return False
+
+
 class Args:
     def __init__(self):
         self.gapopen = 0
@@ -112,6 +167,7 @@ class Args:
         self.outfile = None
         self.backend = "auto"
         self.batch = 1
+        self.prime = 0
         # multi-host SPMD (parallel.multihost): every host runs the same
         # command line with its own --mh-rank; rank 0 writes the output
         self.mh_procs = 1
@@ -147,7 +203,7 @@ def parse_args(argv: list[str]) -> Args:
         "comp_based_stats": "C", "query_gencode": "Q", "db_gencode": "D",
         "filter": "F", "subalignments": "K", "dump": "N", "out": "o",
         "dbsize": "z", "show_gis": "I", "show_taxid": "H", "help": "h",
-        "backend": "BACKEND", "batch": "BATCH",
+        "backend": "BACKEND", "batch": "BATCH", "prime": "PRIME",
         "mh-procs": "MHPROCS", "mh-rank": "MHRANK", "mh-coord": "MHCOORD",
     }
     i = 0
@@ -183,6 +239,10 @@ def parse_args(argv: list[str]) -> Args:
             if short is None:
                 usage_exit()
             opt = short
+            if opt == "PRIME":
+                a.prime = 1
+                i += 1
+                continue
             extended = ("BACKEND", "BATCH", "MHPROCS", "MHRANK", "MHCOORD")
             if opt not in ("I", "H", "h") + extended and val is None:
                 val = next_val(arg)
@@ -411,6 +471,66 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _run_prime(a: Args, engine) -> int:
+    """--prime: compile this database's production kernel set into the
+    persistent compile cache (~/.cache/swipe_tpu/jax).
+
+    One discarded search runs per DISTINCT compiled shape class a query
+    stream would hit — the engine's qlen bucket x this symtype's frame
+    count — so every later PROCESS on this machine skips the remote
+    backend compile and a cold CLI search answers in seconds (the
+    reference binary's instant start, swipe.cc:2507, is the bar).  With
+    -i the sweep covers exactly the query lengths in the file; without,
+    a default ladder of common lengths.  The align-phase hint kernel
+    primes from a tiny synthetic bin.
+    """
+    import time
+
+    import numpy as np
+
+    from .io.fasta import preprocess_query, read_queries
+    from .pipeline import SearchEngine
+
+    if a.queryname != "-" and os.path.exists(a.queryname):
+        lens = sorted({q.length for q in read_queries(
+            a.queryname, a.symtype, a.querystrands, a.query_gencode)})
+    else:
+        lens = [64, 200, 500]
+    letters = "ACGT" if a.symtype in (0, 3, 4) else "ACDEFGHIKLMNPQRSTVWY"
+    seen = set()
+    n = 0
+    for L in lens:
+        bucket = SearchEngine.qlen_bucket(max(L, 1))
+        if bucket in seen:
+            continue
+        seen.add(bucket)
+        q = preprocess_query(
+            "prime", (letters * (L // len(letters) + 1))[:max(L, 1)],
+            a.symtype, a.querystrands, a.query_gencode)
+        t0 = time.time()
+        engine.search(q)
+        sys.stderr.write("swipe_tpu prime: qlen bucket %d (%d frames) "
+                         "in %.1fs\n" % (bucket, len(q.frames()),
+                                         time.time() - t0))
+        n += 1
+    # align-phase hint kernel (one grid shape class)
+    try:
+        from .ops import align_hint
+        rng = np.random.default_rng(0)
+        qseq = rng.integers(1, 5, 64).astype(np.int8)
+        subs = [rng.integers(1, 5, 80).astype(np.int8) for _ in range(4)]
+        t0 = time.time()
+        align_hint.hint_endpoints_grid(
+            [(qseq, subs)], engine.matrix.matrix, a.gapopen, a.gapextend,
+            force_device=True)
+        sys.stderr.write("swipe_tpu prime: hint grid in %.1fs\n"
+                         % (time.time() - t0))
+    except Exception as e:  # priming is best-effort; searches still run
+        sys.stderr.write("swipe_tpu prime: hint grid skipped (%s)\n" % e)
+    sys.stderr.write("swipe_tpu prime: %d shape class(es) compiled\n" % n)
+    return 0
+
+
 def _fatal_on_internal_error(gen):
     """Render the align phase's deliberate RuntimeErrors (e.g. "Internal
     error in align function.", align.cc:156) as the reference's fatal():
@@ -427,6 +547,16 @@ def _fatal_on_internal_error(gen):
 def main(argv=None) -> int:
     from . import native
     native.tune_malloc()   # host phases allocate multi-GB numpy buffers
+    # the axon sitecustomize force-sets jax_platforms via jax.config,
+    # which silently OVERRIDES the JAX_PLATFORMS env var; honor the env
+    # var explicitly so CPU-only runs (tests, CI) stay off the tunnel
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     a = parse_args(sys.argv[1:] if argv is None else argv)
     if a.mh_procs > 1:
         # join the multi-host job before any other JAX use; only rank 0
@@ -469,11 +599,15 @@ def main(argv=None) -> int:
         except OSError:
             fatal("Cannot open query file.")
 
-    if a.mh_procs > 1:
-        from .parallel.multihost import MultiHostEngine
-        engine = MultiHostEngine(db, params, backend=a.backend)
-    else:
-        engine = SearchEngine(db, params, backend=a.backend)
+    with _WedgeWatchdog("TPU backend init"):
+        if a.mh_procs > 1:
+            from .parallel.multihost import MultiHostEngine
+            engine = MultiHostEngine(db, params, backend=a.backend)
+        else:
+            engine = SearchEngine(db, params, backend=a.backend)
+
+    if a.prime:
+        return _run_prime(a, engine)
 
     # observability extension: SWIPE_TPU_TRACE=<dir> wraps the whole run in
     # a JAX profiler trace (view with xprof/tensorboard)
@@ -493,7 +627,9 @@ def main(argv=None) -> int:
             if not pending:
                 return
             timings = SearchTimings()
-            hitlists = engine.search_batch([q for _, q in pending], timings)
+            with _WedgeWatchdog("search dispatch (compile + score)"):
+                hitlists = engine.search_batch(
+                    [q for _, q in pending], timings)
             for (qno, q), hl in zip(pending, hitlists):
                 yield qno, q, hl, timings
             pending.clear()

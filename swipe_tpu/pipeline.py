@@ -475,7 +475,8 @@ class SearchEngine:
                     jnp.asarray(c.carry_src),
                     jnp.asarray(c.end_block[order]),
                     jnp.asarray(c.lane[order]),
-                    c.seqnos[order], c.nseqs)
+                    c.seqnos[order], c.nseqs,
+                    jnp.asarray(c.seqnos[order].astype(np.int32)))
 
         chunks = self._flow_chunks(nseqs)
         total = sum(c.data_t.size for c in chunks)
@@ -576,15 +577,7 @@ class SearchEngine:
                 groups: list[tuple] = []
                 caps = dict(self.STREAM_CONFIGS)
                 for s in slots_sorted:
-                    # short queries bucket to 32 rows so the query group
-                    # (shared-dprofile) packs more members under the VMEM
-                    # row cap; longer ones keep the coarse 128 buckets
-                    # (bounded compile-cache shapes)
-                    L = len(s[3])
-                    if L <= 128:
-                        qlen_pad = max(32, -(-L // 32) * 32)
-                    else:
-                        qlen_pad = -(-L // 128) * 128
+                    qlen_pad = self.qlen_bucket(len(s[3]))
                     if self._forced_nseqs is not None \
                             and qlen_pad <= caps[self._forced_nseqs]:
                         nseqs = self._forced_nseqs
@@ -648,6 +641,18 @@ class SearchEngine:
                               threads=p.threads)
         return hitlists
 
+    @staticmethod
+    def qlen_bucket(L: int) -> int:
+        """Compiled query-row bucket for a query of length L: short
+        queries bucket to 32 rows so the query group (shared-dprofile)
+        packs more members under the VMEM row cap; longer ones keep the
+        coarse 128 buckets (bounded compile-cache shapes).  Shared with
+        the CLI's --prime sweep, which compiles one shape class per
+        distinct bucket."""
+        if L <= 128:
+            return max(32, -(-L // 32) * 32)
+        return -(-L // 128) * 128
+
     def _count_tiers(self, timings: SearchTimings | None, scores, nq: int
                      ) -> None:
         """Cascade-compatibility counters (compute*/rounds*, swipe.cc:111-119).
@@ -689,11 +694,15 @@ class SearchEngine:
         def prep(c):
             order = reverse_tie_order(self.unit_meta[c.seqnos])
             # upload lane-major and transpose on device (the host-side
-            # transpose of a multi-hundred-MB chunk is the slow part)
+            # transpose of a multi-hundred-MB chunk is the slow part);
+            # the trailing device copy of the unit ids feeds the fused
+            # walk as an ARGUMENT (closed-over arrays embed in the
+            # lowered module at ~200 s/MB — see _stream_walk)
             return (jnp.asarray(c.data_t).T, jnp.asarray(c.start),
                     jnp.asarray(c.end_block[order]),
                     jnp.asarray(c.lane[order]),
-                    c.seqnos[order])
+                    c.seqnos[order],
+                    jnp.asarray(c.seqnos[order].astype(np.int32)))
 
         chunks = self._stream_chunks(nseqs, max_cols)
         key = (nseqs, max_cols or self._max_cols)
@@ -851,7 +860,7 @@ class SearchEngine:
                                       chunks_dev)
         else:
             pending = []
-            for data, start, end_block, lane, units in chunks_dev:
+            for data, start, end_block, lane, units, _ud in chunks_dev:
                 use_topk = kbase < units.shape[0]
                 step = _fused_stream_step(
                     long, interpret, p.gapopenextend, p.gapextend, qgroup,
@@ -872,12 +881,20 @@ class SearchEngine:
             slots, qlen_pad, timings,
             kind="stream_interpret" if interpret else "stream")
 
-    def _stream_walk(self, cfg, nq, kbase, chunks_dev):
+    def _stream_walk(self, cfg, nq, kbase):
         """One-dispatch walk over a device-cached plain-pack chunk list
         (the independent-chunk twin of _flow_walk): every chunk scores,
         gathers, and reduces on device; results pack into one int32
         array [nq, 2*K + 4] = [scores | unit ids | totalh | obvious |
-        n16 | n63]."""
+        n16 | n63].
+
+        The chunk buffers ride as a PYTREE ARGUMENT, never a closure: a
+        closed-over jax.Array embeds in the lowered module as a constant
+        at a measured ~200 s/MB on this host — that embedding WAS the
+        entire round-4 cold-start wall (a cfg-1 first search paid ~240 s
+        of lowering that the persistent compile cache cannot skip).  As
+        arguments the walk lowers in milliseconds and one jitted walk
+        re-binds to any same-shaped database."""
         key = ("stream", cfg, nq, kbase)
         cache = getattr(self, "_flow_walk_cache", None)
         if cache is None:
@@ -894,17 +911,15 @@ class SearchEngine:
         p = self.params
         sl7 = self.matrix.scorelimit_7
         sl16 = self.matrix.scorelimit_16
-        unit_devs = [jnp.asarray(u.astype(np.int32))
-                     for *_, u in chunks_dev]
 
         @jax.jit
-        def walk(qc, ql, m8, init_thr, upper):
+        def walk(qc, ql, m8, init_thr, upper, chunks):
             vals_parts, unit_parts = [], []
             totalh = jnp.zeros((nq,), jnp.int32)
             obvious = jnp.zeros((nq,), jnp.int32)
             n16 = jnp.int32(0)
             n63 = jnp.int32(0)
-            for i, (data, start, eb, ln, units) in enumerate(chunks_dev):
+            for i, (data, start, eb, ln, ud) in enumerate(chunks):
                 if long:
                     out = sw_scores_stream_long(
                         qc, ql, m8, data, start,
@@ -932,7 +947,6 @@ class SearchEngine:
                 n16 = n16 + (sc >= sl7).sum().astype(jnp.int32)
                 n63 = n63 + (sc >= sl16).sum().astype(jnp.int32)
                 sc = jnp.where(sc > upper[:, None], -1, sc)
-                ud = unit_devs[i]
                 if kbase < sc.shape[1]:
                     rev = sc[:, ::-1]
                     v, ridx = jax.lax.top_k(rev, kbase)
@@ -957,11 +971,13 @@ class SearchEngine:
                              kbase, timings, cfg, chunks_dev):
         """One dispatch + one fetch for a device-cached plain-pack chunk
         list (see _stream_walk)."""
-        walk = self._stream_walk(cfg, int(qc.shape[0]), kbase, chunks_dev)
+        walk = self._stream_walk(cfg, int(qc.shape[0]), kbase)
+        chunks = tuple((d, st, eb, ln, ud)
+                       for d, st, eb, ln, _u, ud in chunks_dev)
         packed = np.asarray(_dispatch_with_retry(
-            walk, qc, ql, m8, init_thr, upper_thr))
+            walk, qc, ql, m8, init_thr, upper_thr, chunks))
         self._enter_packed(slots, packed,
-                           sum(u.shape[0] for *_, u in chunks_dev),
+                           sum(u.shape[0] for *_, u, _ud in chunks_dev),
                            timings)
 
     def _enter_packed(self, slots, packed, n_units, timings):
@@ -1010,7 +1026,7 @@ class SearchEngine:
             return
         state = None
         pending = []
-        for data, start, src, eb, ln, units, w in chunks_dev:
+        for data, start, src, eb, ln, units, w, _ud in chunks_dev:
             first = state is None
             if first:
                 state = make_stream_state(qc.shape[0], qlen_pad, w)
@@ -1034,13 +1050,19 @@ class SearchEngine:
             drain(item)
 
     def _flow_walk(self, nseqs, nq, qlen_pad, kbase, interpret,
-                   chunks_dev, use_dprof=False):
+                   use_dprof=False):
         """Build (and cache) the one-dispatch walk over a device-cached
         flow series: state threads through every chunk in one jit; each
         chunk's ending units reduce to (score, GLOBAL unit id) rows on
         device; everything packs into ONE int32 array
         [nq, 2*K + 4] = [scores | unit ids | totalh | obvious | n16 | n63]
-        so exactly one buffer crosses the tunnel per slot group."""
+        so exactly one buffer crosses the tunnel per slot group.
+
+        The chunk buffers ride as a PYTREE ARGUMENT (a tuple of
+        (data, start, src, eb, ln, ud) tuples), never a closure: a
+        closed-over jax.Array embeds in the lowered module as a constant
+        at a measured ~200 s/MB — that embedding was the round-4
+        cold-start wall (see _stream_walk)."""
         key = (nseqs, nq, qlen_pad, kbase, interpret, use_dprof)
         cache = getattr(self, "_flow_walk_cache", None)
         if cache is None:
@@ -1057,19 +1079,18 @@ class SearchEngine:
         p = self.params
         sl7 = self.matrix.scorelimit_7
         sl16 = self.matrix.scorelimit_16
-        unit_devs = [jnp.asarray(u.astype(np.int32))
-                     for _, _, _, _, _, u, _ in chunks_dev]
 
         @jax.jit
-        def walk(qc, ql, m8, init_thr, upper):
+        def walk(qc, ql, m8, init_thr, upper, chunks):
             h = e = s = None
             vals_parts, unit_parts = [], []
             totalh = jnp.zeros((nq,), jnp.int32)
             obvious = jnp.zeros((nq,), jnp.int32)
             n16 = jnp.int32(0)
             n63 = jnp.int32(0)
-            for i, (data, start, src, eb, ln, units, w) in \
-                    enumerate(chunks_dev):
+            for i, (data, start, src, eb, ln, ud) in \
+                    enumerate(chunks):
+                w = data.shape[1]
                 if i == 0:
                     h, e, s = make_stream_state(nq, qlen_pad, w)
                 else:
@@ -1096,8 +1117,8 @@ class SearchEngine:
                     gapopenextend=p.gapopenextend,
                     gapextend=p.gapextend, interpret=interpret, dprof=dp,
                     minter=minter, carry_in=i > 0,
-                    carry_out=i < len(chunks_dev) - 1)
-                if units.shape[0] == 0:
+                    carry_out=i < len(chunks) - 1)
+                if ud.shape[0] == 0:
                     continue
                 sc = gather_scores(out, eb, ln)
                 totalh = totalh + (sc >= init_thr[:, None]).sum(
@@ -1107,7 +1128,6 @@ class SearchEngine:
                 n16 = n16 + (sc >= sl7).sum().astype(jnp.int32)
                 n63 = n63 + (sc >= sl16).sum().astype(jnp.int32)
                 sc = jnp.where(sc > upper[:, None], -1, sc)
-                ud = unit_devs[i]
                 if kbase < sc.shape[1]:
                     rev = sc[:, ::-1]
                     v, ridx = jax.lax.top_k(rev, kbase)
@@ -1134,11 +1154,13 @@ class SearchEngine:
         """One dispatch + one fetch for the whole device-cached flow
         series (see _flow_walk)."""
         walk = self._flow_walk(nseqs, int(qc.shape[0]), qlen_pad, kbase,
-                               interpret, chunks_dev, use_dprof)
+                               interpret, use_dprof)
+        chunks = tuple((d, st, src, eb, ln, ud)
+                       for d, st, src, eb, ln, _u, _w, ud in chunks_dev)
         packed = np.asarray(_dispatch_with_retry(
-            walk, qc, ql, m8, init_thr, upper_thr))
+            walk, qc, ql, m8, init_thr, upper_thr, chunks))
         self._enter_packed(slots, packed,
-                           sum(u.shape[0] for *_, u, _ in chunks_dev),
+                           sum(u.shape[0] for *_, u, _w, _ud in chunks_dev),
                            timings)
 
     def _score_carry_series(self, slots, qlen_pad, timings, *, kind):

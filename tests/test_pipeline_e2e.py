@@ -405,6 +405,45 @@ def test_cli_error_paths(tmp_path, capsys):
     assert "Composition-based" in capsys.readouterr().err
 
 
+def test_cli_wedge_watchdog_clean_fatal(tmp_path):
+    """An injected backend wedge must degrade to the reference's fatal()
+    semantics — rc=1 + a diagnosis on stderr — instead of an indefinite
+    hang (the round-3/4 failure class captured by
+    tools/capture_compile_failure.py: a failed remote compile leaves the
+    tunnel holding the chip and backend init blocks forever in native
+    code).  SWIPE_TPU_TEST_WEDGE sleeps inside the watched phase of the
+    real CLI path; the watchdog timer must kill the process cleanly."""
+    import os
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(3)
+    fasta = "".join(">s%d x\n%s\n" % (i, "".join(rng.choice(list(AA), 50)))
+                    for i in range(5))
+    (tmp_path / "db.fa").write_text(fasta)
+    (tmp_path / "q.fa").write_text(
+        ">q\n" + "".join(rng.choice(list(AA), 40)) + "\n")
+    env = dict(os.environ, SWIPE_TPU_TEST_WEDGE="1",
+               SWIPE_TPU_WEDGE_TIMEOUT_S="2", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-m", "swipe_tpu.cli",
+         "-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "db.fa"),
+         "--backend", "lax"],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 1
+    assert "wedged" in r.stderr and "Recovery" in r.stderr
+    # disabled watchdog (timeout 0) must not kill a healthy run
+    env2 = dict(os.environ, SWIPE_TPU_WEDGE_TIMEOUT_S="0",
+                JAX_PLATFORMS="cpu")
+    r2 = subprocess.run(
+        [sys.executable, "-m", "swipe_tpu.cli",
+         "-i", str(tmp_path / "q.fa"), "-d", str(tmp_path / "db.fa"),
+         "--backend", "lax"],
+        capture_output=True, text=True, timeout=300, env=env2)
+    assert r2.returncode == 0 and "SWIPE 2.1.1" in r2.stdout
+    assert "Platform 'axon'" not in r2.stderr  # JAX_PLATFORMS=cpu honored
+
+
 def test_non_int8_matrix_searches(tmp_path):
     # blastn reward/penalty outside int8 must fall back to the int32-wide
     # lax path instead of crashing (matrix.fits_int8 False)

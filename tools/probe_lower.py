@@ -58,10 +58,11 @@ def main():
     qc, ql = jnp.asarray(qc), jnp.asarray(ql)
 
     kbase = 164                 # keephits 100 + 64, the production value
-    walk = eng._flow_walk(nseqs, 1, 256, kbase, False, chunks,
-                          use_dprof="i32")
+    walk = eng._flow_walk(nseqs, 1, 256, kbase, False, use_dprof="i32")
+    chunk_arg = tuple((d, st, src, eb, ln, ud)
+                      for d, st, src, eb, ln, _u, _w, ud in chunks)
     args = (qc, ql, m8, jnp.asarray([0], jnp.int32),
-            jnp.asarray([1 << 30], jnp.int32))
+            jnp.asarray([1 << 30], jnp.int32), chunk_arg)
 
     t0 = time.time()
     traced = walk.trace(*args)
