@@ -60,6 +60,7 @@ counting, identically on every host.
 from __future__ import annotations
 
 import functools
+import os
 import pickle
 
 import numpy as np
@@ -307,8 +308,11 @@ class MultiHostEngine(SearchEngine):
     REBALANCE_TOL = 1.15
     # fresh speeds whose relative shape stays within this factor of the
     # speeds that produced the cached assignment reuse that assignment
-    # (keeps the wave-2 pack cache hot under measurement noise)
-    SPEED_DRIFT = 1.10
+    # (keeps the wave-2 pack cache hot under measurement noise).
+    # Env-tunable: on heavily oversubscribed hosts (CI, the 1-vCPU dev
+    # box) wall-clock speed measurements jitter far more than on a quiet
+    # production host, so tests widen it rather than flake
+    SPEED_DRIFT = float(os.environ.get("SWIPE_TPU_SPEED_DRIFT", "1.10"))
 
     def __init__(self, db, params, *, nseqs: int | None = None,
                  max_cols: int | None = None, backend: str = "auto"):

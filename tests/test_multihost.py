@@ -590,7 +590,13 @@ def test_multihost_4proc_two_slow_giant_rebalance(mh_db, tmp_path):
     multi, errs = _run_multi(
         tmp_path, args, nproc=4, want_errs=True,
         extra_env={"SWIPE_TPU_TEST_SLOW_RANK": "0,2",
-                   "SWIPE_TPU_TEST_CHUNK_SLEEP": "1.2,0.45"})
+                   "SWIPE_TPU_TEST_CHUNK_SLEEP": "1.2,0.45",
+                   # 4 ranks oversubscribe this 1-vCPU host: wall-clock
+                   # speed measurements jitter well past the production
+                   # 1.10 drift window, so widen the hysteresis for the
+                   # test — part (c) still exercises the real
+                   # stabilize_speeds -> cached-assignment path
+                   "SWIPE_TPU_SPEED_DRIFT": "1.8"})
     assert _normalize(multi) == single
     assert "gX" in single
     # per-rank wave-2 shares per search (3 searches -> 3 lines per rank)
