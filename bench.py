@@ -312,16 +312,24 @@ def main():
     t_rep = max(t_rep, 1e-9)
 
     gcups = cells / t_rep / 1e9
+
+    def emit():
+        print(json.dumps({
+            "metric": "GCUPS_1chip_blastp_10kseq",
+            "value": round(gcups, 3),
+            "unit": "GCUPS",
+            "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+            **extra,
+        }), flush=True)
+
     if on_tpu:
+        # the headline prints BEFORE the sub-benches so an external
+        # timeout mid-sub-bench still leaves a parseable tail line,
+        # then again enriched with the full config set
+        emit()
         budget = float(os.environ.get("SWIPE_TPU_BENCH_BUDGET_S", "2400"))
         extra["configs"] = _run_subbenches(budget)
-    print(json.dumps({
-        "metric": "GCUPS_1chip_blastp_10kseq",
-        "value": round(gcups, 3),
-        "unit": "GCUPS",
-        "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
-        **extra,
-    }))
+    emit()
 
 
 if __name__ == "__main__":
