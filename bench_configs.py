@@ -130,6 +130,8 @@ def config4(full: bool):
     eng = SearchEngine(db, SearchParams(symtype=1, gapopen=11, gapextend=1,
                                         alignments=0, descriptions=100))
     eng.search_batch(queries[:16])      # warm-up/compile (same slot-group size)
+    if nq % 16:
+        eng.search_batch(queries[:nq % 16])   # tail-group pow2 shape
     t = SearchTimings()
     eng.search_batch(queries, t)
     d = {"metric": f"cfg4_blastp_batch{nq}_db{ndb}",

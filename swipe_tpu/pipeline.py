@@ -734,36 +734,35 @@ class SearchEngine:
         one VMEM tile."""
         step = self.SLOT_BATCH_LONG if long else self.SLOT_BATCH
         for i in range(0, len(slots), step):
+            # the tail group pads to its own power of two, NOT the full
+            # step: a dead slot still pays the per-(slot, block) profile
+            # DMA (qlen 0 skips only the row loop), which round-5
+            # attribution measured at ~half a full group's wall for a
+            # 4-of-16 tail (tools/profile_cfg4.py: 1.14 s vs 2.26 s).
+            # The price is one extra compiled walk shape per distinct
+            # tail size — amortized by the persistent compile cache
+            # (round 5's --prime / argument-passing fix); before that
+            # fix a mid-search tail compile cost ~40 s, which is why
+            # this used to force the full-step shape
             self._search_stream_group(slots[i:i + step],
                                       qlen_pad, nseqs, timings,
-                                      interpret=interpret, long=long,
-                                      # a multi-group batch pads its tail
-                                      # group to the full step so it
-                                      # reuses the main groups' compiled
-                                      # kernel shape (a second shape used
-                                      # to compile mid-search)
-                                      pad_slots=step if len(slots) > step
-                                      else None)
+                                      interpret=interpret, long=long)
 
     def _search_stream_group(self, slots, qlen_pad, nseqs, timings,
-                             interpret=False, long=False, pad_slots=None):
+                             interpret=False, long=False):
         import jax.numpy as jnp
 
         from .ops.sw_stream import build_matrix8, build_qcodes
         p = self.params
         qc, ql = build_qcodes([s[3] for s in slots], qlen_pad)
-        # bucket the slot count to a power of two (or the caller's
-        # ``pad_slots``): a ragged tail batch would otherwise compile a
-        # fresh kernel shape mid-search (measured: a 40 s remote compile
-        # inside the timed window of the full config-4 run).  Dead slots
-        # carry qlen 0 — their row loop never executes, so the padding
-        # costs at most a few dprofile-only grid steps on the tail batch.
+        # bucket the slot count to a power of two: bounded compiled
+        # shapes ({1,2,4,...,SLOT_BATCH} per config), and a dead slot's
+        # padding cost is its per-(slot, block) profile DMA only (qlen 0
+        # skips the row loop)
         nslots = len(slots)
         nslots_pad = 1
         while nslots_pad < nslots:
             nslots_pad *= 2
-        if pad_slots is not None:
-            nslots_pad = max(nslots_pad, pad_slots)
         if nslots_pad != nslots:
             from .ops.sw_pallas import PAD_SYMBOL
             qc = np.concatenate(

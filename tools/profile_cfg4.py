@@ -57,6 +57,8 @@ def main():
     # like bench_configs.config4's warm-up, but time it separately
     t0 = time.time()
     eng.search_batch(queries[:16])
+    if nq % 16:
+        eng.search_batch(queries[:nq % 16])   # tail-group pow2 shape
     t_warm = time.time() - t0
 
     # timed run with a per-group breakdown: wrap _search_stream_group
