@@ -831,6 +831,29 @@ def test_engine_giant_batch_slot_groups_lax():
                [(h.seqno, h.score) for h in solo.hits]
 
 
+def test_stream_batch_pow2_tail_group(protein_setup):
+    # a multi-group stream batch pads its TAIL group to its own power of
+    # two ({1,2,4,8} shapes), not the full SLOT_BATCH (round 5: a dead
+    # slot still pays the per-(slot, block) profile DMA, ~half a full
+    # group's wall for a 4-of-16 tail on the real chip); results must
+    # stay identical to per-query searches across the 16+2 group split
+    db, _, recs, q = protein_setup
+    rng = np.random.default_rng(47)
+    params = SearchParams(symtype=1, gapopen=11, gapextend=1,
+                          descriptions=20, alignments=0, expect=1e9)
+    queries = [preprocess_query(
+        f"q{i}", "".join(rng.choice(list(AA), int(rng.integers(25, 60)))),
+        1, 3) for i in range(17)]
+    queries.append(preprocess_query("qhit", q, 1, 3))
+    eng = SearchEngine(db, params, backend="stream_interpret")
+    assert len(queries) > eng.SLOT_BATCH
+    batch = eng.search_batch(queries)
+    for qu, hl in zip(queries, batch):
+        solo = eng.search(qu)
+        assert [(h.seqno, h.score) for h in hl.hits] == \
+               [(h.seqno, h.score) for h in solo.hits]
+
+
 def test_segmented_giant_pack_cached():
     # the giant piece pack (host slicing + device upload) is built once
     # per (nseqs, V) and reused across searches and slot groups — a
