@@ -47,6 +47,10 @@ CASES = [
     # kernel kills the remote compile helper (round-4 cfg3 regression)
     ("cap2048_q512",   1200, (30, 500),   512, {}),
     ("cap1024_q1024",   700, (30, 400),  1024, {}),
+    # multi-group batch with a pow2 TAIL group (round 5: 18 slots ->
+    # 16-slot group + 2-slot tail shape; dead slots skip the row loop
+    # but still ride the walk) — every query's hits vs its own oracle
+    ("batch18_q150",   1000, (30, 500),   150, {"batch": 18}),
 ]
 
 
@@ -93,28 +97,34 @@ def main():
         eng = SearchEngine(db, params)          # auto -> stream on TPU
         if opt.get("flow"):
             eng.FLOW_MIN_AVG_LANE = 0           # force the flow series
-        qstr = "".join(rng.choice(alpha, qlen))
-        q = preprocess_query("q", qstr, params.symtype,
-                             params.querystrands)
+        nq = int(opt.get("batch", 1))
+        qs = [preprocess_query(f"q{k}", "".join(rng.choice(alpha, qlen)),
+                               params.symtype, params.querystrands)
+              for k in range(nq)]
         t0 = time.time()
-        hits = eng.search(q)
+        hitlists = eng.search_batch(qs) if nq > 1 else [eng.search(qs[0])]
         wall = time.time() - t0
         cmap = MAP_NCBI_NT16 if nt else MAP_NCBI_AA
         codes = [encode(s, cmap) for s in strs]
-        want = sw_numpy_many(q.nt[0] if nt else q.aa[0], codes,
-                             eng.matrix.matrix, params.gapopen,
-                             params.gapextend)
-        bad = [(h.seqno, h.score, int(want[h.seqno]))
-               for h in hits.hits if h.score != want[h.seqno]]
-        # completeness: the kept scores must be exactly the oracle's
-        # top-N multiset (a silently dropped high scorer shows up here
-        # even if every reported score is individually correct)
-        got_scores = sorted((h.score for h in hits.hits), reverse=True)
-        top_oracle = sorted(want, reverse=True)[: len(got_scores)]
-        multiset_ok = got_scores == [int(s) for s in top_oracle]
-        ok = not bad and multiset_ok and hits.count > 0
+        bad, nhits = [], 0
+        multiset_ok = True
+        for q, hits in zip(qs, hitlists):
+            want = sw_numpy_many(q.nt[0] if nt else q.aa[0], codes,
+                                 eng.matrix.matrix, params.gapopen,
+                                 params.gapextend)
+            bad += [(h.seqno, h.score, int(want[h.seqno]))
+                    for h in hits.hits if h.score != want[h.seqno]]
+            # completeness: the kept scores must be exactly the oracle's
+            # top-N multiset (a silently dropped high scorer shows up
+            # here even if every reported score is individually correct)
+            got_scores = sorted((h.score for h in hits.hits),
+                                reverse=True)
+            top_oracle = sorted(want, reverse=True)[: len(got_scores)]
+            multiset_ok &= got_scores == [int(s) for s in top_oracle]
+            nhits += hits.count
+        ok = not bad and multiset_ok and nhits > 0
         failed += 0 if ok else 1
-        print(f"{name}: {'OK' if ok else 'FAIL'} hits={hits.count} "
+        print(f"{name}: {'OK' if ok else 'FAIL'} hits={nhits} "
               f"wall={wall:.2f}s"
               + ("" if not bad else f" first_bad={bad[:3]}")
               + ("" if multiset_ok else " top-N multiset mismatch"))
