@@ -123,10 +123,16 @@ def _run_subbenches(budget_s: float) -> dict:
                 return
 
     cachedir = tempfile.mkdtemp(prefix="swipe_cold_cache_")
-    run("cfg1_cold", ["tools/bench_cold_child.py"], 1200,
-        {"JAX_COMPILATION_CACHE_DIR": cachedir})
-    run("cfg1_warm_process", ["tools/bench_cold_child.py"], 300,
-        {"JAX_COMPILATION_CACHE_DIR": cachedir}, tries=2)
+    try:
+        run("cfg1_cold", ["tools/bench_cold_child.py"], 1200,
+            {"JAX_COMPILATION_CACHE_DIR": cachedir})
+        run("cfg1_warm_process", ["tools/bench_cold_child.py"], 300,
+            {"JAX_COMPILATION_CACHE_DIR": cachedir}, tries=2)
+    finally:
+        # the cold child populates a full multi-MB compile cache here;
+        # leaking one per bench run would grow /tmp without bound
+        import shutil
+        shutil.rmtree(cachedir, ignore_errors=True)
     run("cfg4", ["bench_configs.py", "--full", "--cfg=4"], 1200, multi=True)
     run("cfg3", ["bench_configs.py", "--full", "--cfg=3"], 1200, multi=True)
     run("cfg2", ["bench_configs.py", "--cfg=2"], 900, multi=True)

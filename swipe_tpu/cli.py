@@ -93,10 +93,13 @@ class _WedgeWatchdog:
     recovery instructions, and since the stuck process is THIS one,
     exiting also releases whatever the wedge holds.
 
-    Armed around backend-touching phases (engine construction, every
-    search dispatch).  SWIPE_TPU_WEDGE_TIMEOUT_S overrides the limit
-    (0 disables); the default must comfortably exceed a legitimate
-    cold first compile through the tunnel (minutes)."""
+    Armed around the compile-prone phases (engine construction, the
+    FIRST search dispatch, every --prime search); steady-state search
+    walls scale with database x batch size without bound, so later
+    dispatches run unwatched unless SWIPE_TPU_WEDGE_TIMEOUT_S is
+    pinned explicitly (0 disables everywhere); the default must
+    comfortably exceed a legitimate cold first compile through the
+    tunnel (minutes)."""
 
     DEFAULT_S = 1800.0
 
@@ -496,21 +499,29 @@ def _run_prime(a: Args, engine) -> int:
             a.queryname, a.symtype, a.querystrands, a.query_gencode)})
     else:
         lens = [64, 200, 500]
-    letters = "ACGT" if a.symtype in (0, 3, 4) else "ACDEFGHIKLMNPQRSTVWY"
-    seen = set()
+    # the QUERY alphabet: nucleotide for blastn/blastx/tblastx input
+    # (symtypes 0/2/4 — alphabet.map_for_symtype), protein otherwise
+    letters = "ACGT" if a.symtype in (0, 2, 4) else "ACDEFGHIKLMNPQRSTVWY"
+    seen: set = set()
     n = 0
     for L in lens:
-        bucket = SearchEngine.qlen_bucket(max(L, 1))
-        if bucket in seen:
-            continue
-        seen.add(bucket)
         q = preprocess_query(
             "prime", (letters * (L // len(letters) + 1))[:max(L, 1)],
             a.symtype, a.querystrands, a.query_gencode)
+        # the engine buckets each scored FRAME's length (translated
+        # modes score ~L/3-aa frames, not the raw nt length) — dedup on
+        # the frame-bucket set so the compiled shape classes a real
+        # query stream hits are each covered exactly once
+        buckets = {SearchEngine.qlen_bucket(max(len(s), 1))
+                   for _, _, s in q.frames()}
+        if not buckets or buckets <= seen:
+            continue
+        seen |= buckets
         t0 = time.time()
-        engine.search(q)
-        sys.stderr.write("swipe_tpu prime: qlen bucket %d (%d frames) "
-                         "in %.1fs\n" % (bucket, len(q.frames()),
+        with _WedgeWatchdog("prime compile (query length %d)" % L):
+            engine.search(q)
+        sys.stderr.write("swipe_tpu prime: qlen bucket(s) %s (%d frames) "
+                         "in %.1fs\n" % (sorted(buckets), len(q.frames()),
                                          time.time() - t0))
         n += 1
     # align-phase hint kernel (one grid shape class)
@@ -527,7 +538,8 @@ def _run_prime(a: Args, engine) -> int:
                          % (time.time() - t0))
     except Exception as e:  # priming is best-effort; searches still run
         sys.stderr.write("swipe_tpu prime: hint grid skipped (%s)\n" % e)
-    sys.stderr.write("swipe_tpu prime: %d shape class(es) compiled\n" % n)
+    sys.stderr.write("swipe_tpu prime: %d shape class(es) compiled "
+                     "(%d prime search(es))\n" % (len(seen), n))
     return 0
 
 
@@ -566,6 +578,10 @@ def main(argv=None) -> int:
         if a.mh_rank != 0:
             a.outfile = os.devnull
     _enable_compile_cache()
+    if a.prime:
+        # --prime writes nothing to the report stream; opening -o here
+        # would truncate the user's existing results file for no reason
+        a.outfile = None
     out = open(a.outfile, "w") if a.outfile else sys.stdout
 
     db = open_database(a)
@@ -622,12 +638,24 @@ def main(argv=None) -> int:
         """(queryno, query, hits, timings) in input order; --batch N scores
         N queries per kernel pass (extension over the reference)."""
         pending = []
+        first_dispatch = [True]
 
         def flush():
             if not pending:
                 return
             timings = SearchTimings()
-            with _WedgeWatchdog("search dispatch (compile + score)"):
+            # the watchdog guards the FIRST dispatch (where the remote
+            # kernel compiles — the documented wedge class — happen) by
+            # default; steady-state search walls scale with db x batch
+            # size without bound, so later dispatches are only watched
+            # when the user pinned SWIPE_TPU_WEDGE_TIMEOUT_S explicitly
+            import contextlib
+            watch = first_dispatch[0] or \
+                "SWIPE_TPU_WEDGE_TIMEOUT_S" in os.environ
+            first_dispatch[0] = False
+            ctx = _WedgeWatchdog("search dispatch (compile + score)") \
+                if watch else contextlib.nullcontext()
+            with ctx:
                 hitlists = engine.search_batch(
                     [q for _, q in pending], timings)
             for (qno, q), hl in zip(pending, hitlists):

@@ -311,8 +311,12 @@ class MultiHostEngine(SearchEngine):
     # (keeps the wave-2 pack cache hot under measurement noise).
     # Env-tunable: on heavily oversubscribed hosts (CI, the 1-vCPU dev
     # box) wall-clock speed measurements jitter far more than on a quiet
-    # production host, so tests widen it rather than flake
-    SPEED_DRIFT = float(os.environ.get("SWIPE_TPU_SPEED_DRIFT", "1.10"))
+    # production host, so tests widen it rather than flake.  A malformed
+    # value falls back to the default instead of breaking import
+    try:
+        SPEED_DRIFT = float(os.environ.get("SWIPE_TPU_SPEED_DRIFT", 1.10))
+    except ValueError:
+        SPEED_DRIFT = 1.10
 
     def __init__(self, db, params, *, nseqs: int | None = None,
                  max_cols: int | None = None, backend: str = "auto"):

@@ -74,13 +74,18 @@ def main():
             jax.block_until_ready(build_dprofile_series(m8, d, dtype=dt))
             for (d, *_r) in dev)
 
+    dev_arg = tuple(dev)
+
     def make_chain(qgroup, dt):
+        # every device buffer rides as an ARGUMENT (a closed-over
+        # jax.Array embeds in the lowered module as a constant —
+        # CLAUDE.md; the round-4 cold-start wall)
         @jax.jit
-        def chain_impl(qcs, qls, dps):
+        def chain_impl(qcs, qls, chunks, dps):
             def body(_, xs):
                 qc, ql = xs
                 acc = jnp.zeros((qc.shape[0],), jnp.int32)
-                for i, (d, st, eb, ln) in enumerate(dev):
+                for i, (d, st, eb, ln) in enumerate(chunks):
                     out = sw_scores_stream(
                         qc, ql, m8, d, st, gapopenextend=12, gapextend=1,
                         qgroup=qgroup, dprof=dps[i])
@@ -90,7 +95,7 @@ def main():
             return accs
 
         def chain(qcs, qls):
-            return chain_impl(qcs, qls, dprofs[dt])
+            return chain_impl(qcs, qls, dev_arg, dprofs[dt])
         return chain
 
     # (name, qlen, qgroup, dtype) — VMEM row budget: qgroup * qlen_pad
