@@ -96,7 +96,10 @@ def _run_subbenches(budget_s: float) -> dict:
         # one-sided noise (a warm 10 s child was observed hanging >600 s
         # in one rehearsal while every neighbor ran clean)
         for attempt in range(tries):
-            if left() < 30:
+            # under ~2 min of budget a config child cannot finish its
+            # db build + warm-up — record the skip instead of a doomed
+            # truncated attempt that reads as "timeout"
+            if left() < 120:
                 out[name] = {"skipped": "budget"}
                 return
             env = dict(os.environ)
