@@ -519,7 +519,13 @@ def _run_prime(a: Args, engine) -> int:
         seen |= buckets
         t0 = time.time()
         with _WedgeWatchdog("prime compile (query length %d)" % L):
-            engine.search(q)
+            if a.batch > 1:
+                # compile the batch walk shape a --batch N run hits:
+                # slots bucket to powers of two capped at SLOT_BATCH
+                k = min(max(a.batch, 1), SearchEngine.SLOT_BATCH)
+                engine.search_batch([q] * k)
+            else:
+                engine.search(q)
         sys.stderr.write("swipe_tpu prime: qlen bucket(s) %s (%d frames) "
                          "in %.1fs\n" % (sorted(buckets), len(q.frames()),
                                          time.time() - t0))
