@@ -146,6 +146,9 @@ def config4(full: bool):
     if packs:
         area = sum(int(c.data_t.size) for c in packs)
         d["cfg4_occupancy"] = round(float(eng._norm_lens.sum()) / area, 4)
+    # compiled walk shape classes this whole batch needed (cold-start
+    # cost scales with this count; the pow2 tail adds exactly one)
+    d["walk_shape_classes"] = len(getattr(eng, "_flow_walk_cache", {}))
     return d
 
 
