@@ -405,6 +405,38 @@ def test_cli_error_paths(tmp_path, capsys):
     assert "Composition-based" in capsys.readouterr().err
 
 
+def test_cli_prime_mode(tmp_path, capsys):
+    """--prime compiles one shape class per distinct FRAME qlen bucket
+    (translated modes bucket the ~L/3 aa frames, round-5 fix), writes
+    nothing to the report stream, and must NOT truncate an existing -o
+    results file."""
+    from swipe_tpu.cli import main as cli_main
+    rng = np.random.default_rng(9)
+    fasta = "".join(">s%d x\n%s\n" % (i, "".join(rng.choice(list(AA), 60)))
+                    for i in range(6))
+    (tmp_path / "db.fa").write_text(fasta)
+    (tmp_path / "q.fa").write_text(
+        ">q\n" + "".join(rng.choice(list(AA), 40)) + "\n")
+    (tmp_path / "out.txt").write_text("precious results")
+    rc = cli_main(["-i", str(tmp_path / "q.fa"),
+                   "-d", str(tmp_path / "db.fa"), "--backend", "lax",
+                   "-o", str(tmp_path / "out.txt"), "--prime"])
+    err = capsys.readouterr().err
+    assert rc == 0 and "shape class" in err
+    assert (tmp_path / "out.txt").read_text() == "precious results"
+    # translated mode: the frame buckets drive the sweep (6 frames)
+    ntdb = "".join(">n%d x\n%s\n" % (i, "".join(rng.choice(list(NT), 90)))
+                   for i in range(6))
+    (tmp_path / "ndb.fa").write_text(ntdb)
+    (tmp_path / "nq.fa").write_text(
+        ">nq\n" + "".join(rng.choice(list(NT), 120)) + "\n")
+    rc = cli_main(["-p", "tblastx", "-i", str(tmp_path / "nq.fa"),
+                   "-d", str(tmp_path / "ndb.fa"), "--backend", "lax",
+                   "--prime"])
+    err = capsys.readouterr().err
+    assert rc == 0 and "(6 frames)" in err
+
+
 def test_cli_wedge_watchdog_clean_fatal(tmp_path):
     """An injected backend wedge must degrade to the reference's fatal()
     semantics — rc=1 + a diagnosis on stderr — instead of an indefinite
