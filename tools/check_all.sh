@@ -8,6 +8,8 @@ echo "== golden fuzz (200 fresh cases) =="
 python tools/fuzz_golden.py 200 "$(date +%s)"
 echo "== multi-host fuzz (10 fresh cases) =="
 python tools/fuzz_multihost.py 10 "$(date +%s)"
+echo "== adversarial DB-reader fuzz (50 fresh cases) =="
+python tools/fuzz_blastdb.py 50 "$(date +%s)"
 echo "== on-chip exactness (all production routes vs oracle; skips without TPU) =="
 python tools/check_onchip.py "$(date +%s)"
 echo "== driver hooks =="
